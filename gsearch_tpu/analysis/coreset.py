@@ -1,0 +1,138 @@
+"""Coreset extraction + clustering over a sketch database.
+
+Capability-equivalent of the reference's `hnswcore` binary (reference:
+binaux/src/bin/hnswcore.rs:161-465 — reload a dumped database, sample
+distance quantiles, build a coreset (Coreset1 / BMOR streaming k-median)
+or cluster it (ClusterCoreset::compute + dispatch), dump coreset.csv /
+clustercoreset.csv).
+
+TPU-native formulation: the BMOR streaming pass is sequential by design
+(CPU single-pass constraint that does not apply here); we build the
+coreset by D^2 (k-means++-style) sampling — each round scores ALL points'
+distance to the current coreset with the fused distance kernel and samples
+proportionally to squared distance — followed by weight assignment (count
+of points whose nearest coreset member is c) and medoid-style Lloyd
+refinement for clustering.  Every step is a dense [N, C] distance sweep on
+device; nothing is streamed point-by-point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import hamming_frac
+from ..utils import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class CoresetResult:
+    ids: np.ndarray          # [C] database ids of coreset points
+    weights: np.ndarray      # [C] number of points assigned
+    assignment: np.ndarray   # [N] coreset member index per point
+    cost: float              # sum of assignment distances
+
+
+def distance_quantiles(sigs: np.ndarray, nb_pairs: int = 10_000, seed: int = 0) -> dict:
+    """Sampled pairwise-distance quantiles (reference: CKMS sampling at
+    hnswcore.rs:188-228)."""
+    rng = np.random.default_rng(seed)
+    n = sigs.shape[0]
+    a = rng.integers(0, n, nb_pairs)
+    b = rng.integers(0, n, nb_pairs)
+    d = np.asarray(
+        hamming_frac(jnp.asarray(sigs[a[:256]]), jnp.asarray(sigs))
+    )  # a dense block gives plenty of samples
+    del b
+    flat = d.ravel()
+    qs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    return {str(q): float(np.quantile(flat, q)) for q in qs}
+
+
+def build_coreset(
+    sigs: np.ndarray, nb_coreset: int, seed: int = 0
+) -> CoresetResult:
+    """D^2-sampled coreset with assignment weights."""
+    rng = np.random.default_rng(seed)
+    n = sigs.shape[0]
+    c = min(nb_coreset, n)
+    sig_dev = jnp.asarray(sigs)
+    chosen = [int(rng.integers(0, n))]
+    best_d = np.asarray(hamming_frac(jnp.asarray(sigs[chosen]), sig_dev))[0]
+    # sample in growing rounds: a batch of new centers per sweep keeps the
+    # number of device sweeps at O(log C) rather than O(C)
+    while len(chosen) < c:
+        batch = min(max(1, len(chosen)), c - len(chosen))
+        p = best_d.astype(np.float64) ** 2
+        p_sum = p.sum()
+        if p_sum <= 0:
+            extra = rng.choice(n, size=batch, replace=False)
+        else:
+            extra = rng.choice(n, size=batch, replace=False, p=p / p_sum)
+        chosen.extend(int(e) for e in extra)
+        d_new = np.asarray(hamming_frac(jnp.asarray(sigs[extra]), sig_dev))
+        best_d = np.minimum(best_d, d_new.min(axis=0))
+    ids = np.array(sorted(set(chosen))[:c], dtype=np.int64)
+    d_all = np.asarray(hamming_frac(jnp.asarray(sigs[ids]), sig_dev))  # [C, N]
+    assignment = d_all.argmin(axis=0)
+    weights = np.bincount(assignment, minlength=len(ids))
+    cost = float(d_all.min(axis=0).sum())
+    return CoresetResult(ids=ids, weights=weights, assignment=assignment, cost=cost)
+
+
+def cluster_coreset(
+    sigs: np.ndarray, coreset: CoresetResult, nb_cluster: int, nb_iter: int = 10,
+    seed: int = 0,
+) -> CoresetResult:
+    """Weighted medoid clustering OF the coreset, then dispatch of all
+    points to the final medoids (reference: ClusterCoreset::{compute,
+    dispatch}, hnswcore.rs:232-287)."""
+    rng = np.random.default_rng(seed)
+    core_sigs = sigs[coreset.ids]
+    c = len(coreset.ids)
+    k = min(nb_cluster, c)
+    w = coreset.weights.astype(np.float64)
+    d_cc = np.asarray(hamming_frac(jnp.asarray(core_sigs), jnp.asarray(core_sigs)))
+    medoids = list(rng.choice(c, size=k, replace=False))
+    for _ in range(nb_iter):
+        assign = d_cc[:, medoids].argmin(axis=1)
+        new_medoids = []
+        for j in range(k):
+            members = np.where(assign == j)[0]
+            if len(members) == 0:
+                new_medoids.append(medoids[j])
+                continue
+            # weighted 1-medoid of the members
+            sub = d_cc[np.ix_(members, members)] * w[members][None, :]
+            new_medoids.append(int(members[sub.sum(axis=1).argmin()]))
+        if new_medoids == medoids:
+            break
+        medoids = new_medoids
+    medoid_ids = coreset.ids[medoids]
+    d_all = np.asarray(hamming_frac(jnp.asarray(sigs[medoid_ids]), jnp.asarray(sigs)))
+    assignment = d_all.argmin(axis=0)
+    weights = np.bincount(assignment, minlength=k)
+    return CoresetResult(
+        ids=medoid_ids, weights=weights, assignment=assignment,
+        cost=float(d_all.min(axis=0).sum()),
+    )
+
+
+def dump_coreset_csv(res: CoresetResult, seqdict, path: str) -> None:
+    with open(path, "w") as f:
+        f.write("coreset_rank,data_id,path,weight\n")
+        for rank, (i, w) in enumerate(zip(res.ids, res.weights)):
+            f.write(f"{rank},{i},{seqdict[int(i)].id.path},{int(w)}\n")
+
+
+def dump_cluster_csv(res: CoresetResult, seqdict, path: str) -> None:
+    with open(path, "w") as f:
+        f.write("data_id,path,cluster,medoid_data_id,medoid_path\n")
+        for i, a in enumerate(res.assignment):
+            m = int(res.ids[int(a)])
+            f.write(f"{i},{seqdict[i].id.path},{int(a)},{m},{seqdict[m].id.path}\n")

@@ -1,0 +1,65 @@
+"""Gene-prediction CLI — the FragGeneScanRs role.
+
+Output-set parity with the reference tool (reference:
+binaux/src/bin/FragGeneScanRs.rs:26-339 — reads FASTA, calls genes, writes
+<prefix>.faa (proteins), <prefix>.ffn (nucleotide CDS), <prefix>.gff and
+<prefix>.out (coordinates); order-preserving across records).  The model
+is the TPU codon-HMM in gsearch_tpu/models/genepred.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def run_genepred(seq_file: str, out_prefix: str, whole_genes: bool = True,
+                 min_len: int = 90) -> int:
+    from ..io.fasta import parse_fasta
+    from ..models.genepred import GenePredParams, predict_genes
+
+    params = GenePredParams(whole_genes_only=whole_genes, min_gene_len=min_len)
+    n_genes = 0
+    with open(out_prefix + ".faa", "w") as faa, \
+         open(out_prefix + ".ffn", "w") as ffn, \
+         open(out_prefix + ".gff", "w") as gff, \
+         open(out_prefix + ".out", "w") as out:
+        gff.write("##gff-version 3\n")
+        for rec in parse_fasta(seq_file):
+            genes = predict_genes(rec.seq, params)
+            out.write(f">{rec.fasta_id}\n")
+            for g in genes:
+                n_genes += 1
+                gid = f"{rec.fasta_id}_{g.start + 1}_{g.end}_{g.strand}"
+                faa.write(f">{gid}\n{g.aa}\n")
+                ffn.write(f">{gid}\n{g.nt}\n")
+                gff.write(
+                    f"{rec.fasta_id}\tgsearch_tpu\tCDS\t{g.start + 1}\t{g.end}\t.\t"
+                    f"{g.strand}\t0\tID={gid}\n"
+                )
+                out.write(f"{g.start + 1}\t{g.end}\t{g.strand}\t1\n")
+    return n_genes
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="genepred",
+                                 description="prokaryotic gene prediction (FragGeneScan role)")
+    ap.add_argument("-s", "--seq", required=True, help="input FASTA")
+    ap.add_argument("-o", "--out", required=True, help="output prefix")
+    ap.add_argument("-w", "--whole", type=int, default=1,
+                    help="1: whole genes (genomes), 0: allow fragments (reads)")
+    ap.add_argument("--min_len", type=int, default=90)
+    ap.add_argument("-t", "--train", default="standard",
+                    help="accepted for parity; built-in codon model")
+    ap.add_argument("-p", "--threads", type=int, default=0, help="accepted for parity; unused")
+    args = ap.parse_args(argv)
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    n = run_genepred(args.seq, args.out, whole_genes=args.whole == 1, min_len=args.min_len)
+    print(f"predicted {n} genes -> {args.out}.faa/.ffn/.gff/.out", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,82 @@
+"""Flat (exact) sketch index: brute-force top-k on device.
+
+Role: the correctness oracle for the ANN index and the small/medium-database
+fast path.  On TPU, exact search over tens of thousands of genome sketches
+is a dense VPU sweep that runs at HBM speed (ops/distance.py), so "exact"
+is both faster and higher-recall than CPU graph traversal at GTDB scale —
+pointer-chasing only pays off for much larger corpora (then see hnsw.py).
+
+API parity targets: Hnsw::parallel_insert (src/dna/dnasketch.rs:435) ->
+`insert`; Hnsw::parallel_search (src/dna/dnarequest.rs:353) -> `search`
+(ef_search is accepted and ignored — exact search has no beam).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import hamming_frac
+from ..utils import get_logger
+
+log = get_logger(__name__)
+
+
+class FlatIndex:
+    KIND = "flat"
+
+    def __init__(self, sketch_size: int, sig_dtype, capacity: int = 0):
+        self.sketch_size = sketch_size
+        self.sig_dtype = np.dtype(sig_dtype)
+        self._sigs = np.empty((0, sketch_size), dtype=self.sig_dtype)
+        self._device_sigs = None
+
+    @property
+    def nb_points(self) -> int:
+        return self._sigs.shape[0]
+
+    def get_nb_point(self) -> int:  # reference-parity name (dnasketch.rs:437)
+        return self.nb_points
+
+    def insert(self, sigs: np.ndarray) -> None:
+        """Append a batch of signatures; ids are assigned consecutively
+        (the SeqDict rank IS the data id, idsketch.rs:152-154)."""
+        assert sigs.shape[1] == self.sketch_size
+        self._sigs = np.concatenate([self._sigs, sigs.astype(self.sig_dtype)], axis=0)
+        self._device_sigs = None  # device copy is stale
+
+    def _device(self):
+        if self._device_sigs is None:
+            self._device_sigs = jnp.asarray(self._sigs)
+        return self._device_sigs
+
+    def search(
+        self, queries: np.ndarray, knbn: int, ef_search: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched k-NN. Returns (distances [Q, k], ids [Q, k])."""
+        del ef_search
+        if self.nb_points == 0:
+            q = queries.shape[0]
+            return np.full((q, 0), np.inf, np.float32), np.zeros((q, 0), np.int32)
+        from ..ops.distance import bucketed_knn
+
+        return bucketed_knn(queries.astype(self.sig_dtype), self._sigs, knbn)
+
+    def get_sigs(self) -> np.ndarray:
+        return self._sigs
+
+    # --- persistence ---------------------------------------------------------
+
+    def save_arrays(self, prefix: str) -> dict:
+        np.save(prefix + ".sigs.npy", self._sigs)
+        return {"sig_file": "index.sigs.npy"}
+
+    @classmethod
+    def load_arrays(cls, prefix: str, meta: dict) -> "FlatIndex":
+        sigs = np.load(prefix + ".sigs.npy")
+        idx = cls(sketch_size=sigs.shape[1], sig_dtype=sigs.dtype)
+        idx._sigs = sigs
+        return idx

@@ -1,0 +1,387 @@
+"""TPU-native ANN graph index (the reference's HNSW role).
+
+Capability-equivalent of hnsw_rs as used by the reference
+(Hnsw::new / modify_level_scale / parallel_insert / parallel_search;
+reference: src/dna/dnasketch.rs:139-160,435, src/dna/dnarequest.rs:353) —
+re-designed for TPU execution rather than translated:
+
+* The multi-layer hierarchy exists only to pick good entry points; the
+  reference itself recommends collapsing it (--scale_modify_f 0.25 =>
+  ~1 layer "HubNSW", README.md:118, arXiv 2412.01940).  Here the upper
+  layers are replaced by an *entry tier*: a deterministic sample of nodes
+  searched exactly with the dense distance kernel — a perfectly-shaped VPU
+  sweep instead of pointer-chasing.  `scale_modification` scales the tier
+  size (smaller scale -> relatively more entry points -> flatter search),
+  preserving the knob's spirit.
+* The base layer is one flat int32 neighbor array [N, M0] in HBM, traversed
+  by *batched multi-query beam search*: every hop expands E beam nodes per
+  query, gathers their neighbor ids, de-duplicates against a per-query
+  visited ring with vectorized compares (no hash sets), computes distances
+  with the fused equal-count kernel on a signature prefix, and merges via
+  lax.top_k.  All control flow is a fixed-trip fori_loop — XLA-compilable,
+  no data-dependent shapes.
+* Search runs on a signature *prefix* (slots are iid Jaccard estimators, so
+  a prefix is just a smaller sketch); the final beam is re-ranked against
+  full signatures.  This cuts traversal gather bandwidth ~S/prefix times.
+
+Construction is layer-free batched insertion: each batch is beam-searched
+against the current graph on device, links are selected host-side
+(top-M by distance + reverse links with pruning), and the device copy of
+the neighbor array is refreshed.  Batch-mates are eligible neighbors via an
+extra dense B x B distance block, so dense duplicate groups still connect.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import hamming_frac
+from ..utils import get_logger
+
+log = get_logger(__name__)
+
+_PAD = -1  # host-side padding for absent neighbors
+
+
+class HnswIndex:
+    KIND = "hnsw"
+
+    def __init__(
+        self,
+        sketch_size: int,
+        sig_dtype,
+        max_nb_conn: int = 64,
+        ef_construction: int = 200,
+        scale_modification: float = 1.0,
+        capacity: int = 0,
+        search_prefix: int = 1024,
+    ):
+        self.sketch_size = sketch_size
+        self.sig_dtype = np.dtype(sig_dtype)
+        self.max_nb_conn = int(max_nb_conn)
+        self.m0 = 2 * self.max_nb_conn  # base-layer degree, HNSW convention
+        self.ef_construction = int(ef_construction)
+        self.scale_modification = float(scale_modification)
+        self.search_prefix = min(search_prefix, sketch_size)
+        self._sigs = np.empty((0, sketch_size), dtype=self.sig_dtype)
+        self._nbrs = np.empty((0, self.m0), dtype=np.int32)
+        self._entry_ids = np.empty((0,), dtype=np.int32)
+        self._device = None  # (sigs_prefix+pad, sigs_full+pad, nbrs+pad, entries)
+
+    # ------------------------------------------------------------------ basics
+
+    @property
+    def nb_points(self) -> int:
+        return self._sigs.shape[0]
+
+    def get_nb_point(self) -> int:
+        return self.nb_points
+
+    def get_sigs(self) -> np.ndarray:
+        return self._sigs
+
+    def _entry_tier_size(self, n: int) -> int:
+        if n <= 0:
+            return 0
+        # ~ sqrt(N) entries scaled by 1/scale_modification; small scale
+        # (HubNSW direction) widens the exact tier
+        base = math.sqrt(n) / max(self.scale_modification, 0.2)
+        return int(min(n, max(16, base)))
+
+    def _refresh_entries(self) -> None:
+        n = self.nb_points
+        t = self._entry_tier_size(n)
+        if t == 0:
+            self._entry_ids = np.empty((0,), dtype=np.int32)
+            return
+        # deterministic low-discrepancy sample over insertion order
+        step = max(1, n // t)
+        self._entry_ids = np.arange(0, n, step, dtype=np.int32)[:t]
+
+    # ------------------------------------------------------------------ device
+
+    def _device_arrays(self):
+        if self._device is None:
+            n = self.nb_points
+            sp = self.search_prefix
+            sigs_p = np.concatenate(
+                [self._sigs[:, :sp], np.zeros((1, sp), self.sig_dtype)], axis=0
+            )  # row N = sentinel (distance computed but masked by id checks)
+            nbrs = np.where(self._nbrs == _PAD, n, self._nbrs).astype(np.int32)
+            nbrs_p = np.concatenate([nbrs, np.full((1, self.m0), n, np.int32)], axis=0)
+            self._device = (
+                jnp.asarray(sigs_p),
+                jnp.asarray(self._sigs),
+                jnp.asarray(nbrs_p),
+                jnp.asarray(self._entry_ids),
+            )
+        return self._device
+
+    # ------------------------------------------------------------------ search
+
+    def search(
+        self, queries: np.ndarray, knbn: int, ef_search: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched k-NN: entry tier (exact) -> beam search -> full-sig rerank.
+
+        Returns (distances [Q, k], ids [Q, k]); parity with
+        hnsw_rs parallel_search (dnarequest.rs:353)."""
+        n = self.nb_points
+        if n == 0:
+            q = queries.shape[0]
+            return np.full((q, 0), np.inf, np.float32), np.zeros((q, 0), np.int32)
+        knbn = min(knbn, n)
+        ef = max(ef_search or 64, knbn)
+        ef = min(ef, max(n, 1))
+        sigs_p, sigs_full, nbrs_p, entries = self._device_arrays()
+        q_dev = jnp.asarray(queries.astype(self.sig_dtype))
+
+        if n <= 2048 or len(self._entry_ids) >= n:
+            # tiny database: the entry tier is the whole database
+            d = hamming_frac(q_dev, sigs_full)
+            neg, ids = jax.lax.top_k(-d, knbn)
+            return np.asarray(-neg), np.asarray(ids)
+
+        ef_round = _round_up(min(ef, n), 64)
+        hops = max(8, int(2 * math.log2(n)) + ef_round // 32)
+        d, ids = _beam_search_jit(
+            sigs_p,
+            sigs_full,
+            nbrs_p,
+            entries,
+            q_dev[:, : self.search_prefix],
+            q_dev,
+            ef=ef_round,
+            knbn=knbn,
+            hops=hops,
+            expand=2,
+        )
+        return np.asarray(d), np.asarray(ids)
+
+    # ------------------------------------------------------------------ build
+
+    def insert(self, sigs: np.ndarray, batch_size: int = 1024) -> None:
+        """Batched graph construction (role of parallel_insert,
+        dnasketch.rs:426-436)."""
+        sigs = sigs.astype(self.sig_dtype)
+        for start in range(0, sigs.shape[0], batch_size):
+            self._insert_batch(sigs[start : start + batch_size])
+        self._refresh_entries()
+        self._device = None
+
+    def _insert_batch(self, batch: np.ndarray) -> None:
+        b = batch.shape[0]
+        n = self.nb_points
+        m = self.max_nb_conn
+        new_nbrs = np.full((b, self.m0), _PAD, dtype=np.int32)
+
+        # candidates from the existing graph
+        if n > 0:
+            efc = min(self.ef_construction, max(n, 1))
+            cand_d, cand_ids = self.search(batch, knbn=min(efc, n), ef_search=efc)
+        else:
+            cand_d = np.empty((b, 0), np.float32)
+            cand_ids = np.empty((b, 0), np.int32)
+
+        # batch-mates as candidates (B x B dense block on device)
+        if b > 1:
+            bb = np.array(hamming_frac(jnp.asarray(batch), jnp.asarray(batch)))
+            np.fill_diagonal(bb, np.inf)
+            mate_ids = np.argsort(bb, axis=1)[:, : min(m, b - 1)]
+            mate_d = np.take_along_axis(bb, mate_ids, axis=1)
+            # only mates that precede the node keep insertion-order semantics,
+            # but links are symmetric anyway; merge into candidate lists
+            cand_d = np.concatenate([cand_d, mate_d.astype(np.float32)], axis=1)
+            cand_ids = np.concatenate([cand_ids, (mate_ids + n).astype(np.int32)], axis=1)
+
+        order = np.argsort(cand_d, axis=1)
+        cand_d = np.take_along_axis(cand_d, order, axis=1)
+        cand_ids = np.take_along_axis(cand_ids, order, axis=1)
+
+        # grow arrays
+        self._sigs = np.concatenate([self._sigs, batch], axis=0)
+        self._nbrs = np.concatenate([self._nbrs, new_nbrs], axis=0)
+
+        # forward links: top-M0 nearest candidates
+        take = min(self.m0, cand_ids.shape[1])
+        for i in range(b):
+            ids_i = cand_ids[i, :take]
+            d_i = cand_d[i, :take]
+            keep = np.isfinite(d_i)
+            self._nbrs[n + i, : keep.sum()] = ids_i[keep]
+
+        # reverse links with pruning: new node becomes a neighbor of its
+        # targets; overfull targets drop their farthest link
+        if cand_ids.shape[1] > 0:
+            for i in range(b):
+                me = n + i
+                for tgt, d in zip(cand_ids[i, :m], cand_d[i, :m]):
+                    if not np.isfinite(d) or tgt >= me:
+                        continue
+                    self._add_reverse_link(int(tgt), me, float(d))
+
+        self._refresh_entries()
+        self._device = None
+
+    def _add_reverse_link(self, tgt: int, me: int, dist: float) -> None:
+        row = self._nbrs[tgt]
+        free = np.where(row == _PAD)[0]
+        if len(free):
+            row[free[0]] = me
+            return
+        # full: replace the farthest existing link if we are closer
+        tgt_sig = self._sigs[tgt]
+        cur = row.astype(np.int64)
+        cur_d = (self._sigs[cur] != tgt_sig[None, :]).mean(axis=1)
+        worst = int(np.argmax(cur_d))
+        if cur_d[worst] > dist:
+            row[worst] = me
+
+    # ------------------------------------------------------------------ io
+
+    def save_arrays(self, prefix: str) -> dict:
+        np.save(prefix + ".sigs.npy", self._sigs)
+        np.savez(
+            prefix + ".graph.npz",
+            nbrs=self._nbrs,
+            entry_ids=self._entry_ids,
+        )
+        return {
+            "max_nb_conn": self.max_nb_conn,
+            "ef_construction": self.ef_construction,
+            "scale_modification": self.scale_modification,
+            "search_prefix": self.search_prefix,
+        }
+
+    @classmethod
+    def load_arrays(cls, prefix: str, meta: dict) -> "HnswIndex":
+        sigs = np.load(prefix + ".sigs.npy")
+        g = np.load(prefix + ".graph.npz")
+        idx = cls(
+            sketch_size=sigs.shape[1],
+            sig_dtype=sigs.dtype,
+            max_nb_conn=int(meta.get("max_nb_conn", 64)),
+            ef_construction=int(meta.get("ef_construction", 200)),
+            scale_modification=float(meta.get("scale_modification", 1.0)),
+            search_prefix=int(meta.get("search_prefix", 1024)),
+        )
+        idx._sigs = sigs
+        idx._nbrs = g["nbrs"]
+        idx._entry_ids = g["entry_ids"]
+        return idx
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# the jitted batched beam search
+# ---------------------------------------------------------------------------
+
+
+def _eq_dist_rows(sigs_p: jnp.ndarray, q: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Distances from each query to a per-query id list.
+
+    sigs_p: [N+1, S'], q: [Q, S'], ids: [Q, C] -> [Q, C] f32."""
+    rows = jnp.take(sigs_p, ids, axis=0)  # [Q, C, S']
+    eq = (rows == q[:, None, :]).sum(axis=-1).astype(jnp.float32)
+    return 1.0 - eq / jnp.float32(q.shape[-1])
+
+
+@functools.partial(jax.jit, static_argnames=("ef", "knbn", "hops", "expand"))
+def _beam_search_jit(
+    sigs_p, sigs_full, nbrs_p, entries, q_prefix, q_full, *, ef, knbn, hops, expand
+):
+    qn = q_prefix.shape[0]
+    n = sigs_full.shape[0]
+    m0 = nbrs_p.shape[1]
+    big = jnp.float32(jnp.inf)
+
+    # ---- entry tier: exact distances to the sampled entries
+    ent_sigs = jnp.take(sigs_p, entries, axis=0)  # [T, S']
+    d_ent = hamming_frac(q_prefix, ent_sigs, impl="xla")  # [Q, T]
+    t = entries.shape[0]
+    k0 = min(ef, t)
+    neg, idx = jax.lax.top_k(-d_ent, k0)
+    beam_ids = jnp.take(entries, idx, axis=0).astype(jnp.int32)  # [Q, k0]
+    beam_d = -neg
+
+    # pad beam to ef with sentinel
+    if k0 < ef:
+        pad = ef - k0
+        beam_ids = jnp.concatenate([beam_ids, jnp.full((qn, pad), n, jnp.int32)], axis=1)
+        beam_d = jnp.concatenate([beam_d, jnp.full((qn, pad), big)], axis=1)
+    expanded = beam_ids >= n  # sentinels count as expanded
+
+    # visited ring holds everything we have ever scored; size it to the
+    # whole search when feasible so wraparound (which permits re-scoring
+    # and therefore duplicate beam entries) is the exception, not the rule
+    vis_size = _round_up(min(ef + hops * expand * m0, 8192), 128)
+    ring = jnp.full((qn, vis_size), n, jnp.int32)
+    ring = jax.lax.dynamic_update_slice(ring, beam_ids, (0, 0))
+    ring_pos = jnp.int32(ef)
+
+    def hop(state, _):
+        beam_ids, beam_d, expanded, ring, ring_pos = state
+        # select E best unexpanded beam entries
+        sel_d = jnp.where(expanded, big, beam_d)
+        _, sel = jax.lax.top_k(-sel_d, expand)  # [Q, E] beam positions
+        sel_ids = jnp.take_along_axis(beam_ids, sel, axis=1)  # [Q, E]
+        # mark them expanded
+        onehot = jnp.zeros_like(expanded).at[
+            jnp.arange(qn)[:, None], sel
+        ].set(True)
+        expanded = expanded | onehot
+
+        # gather neighbor lists [Q, E*M0]
+        cand = jnp.take(nbrs_p, sel_ids, axis=0).reshape(qn, expand * m0)
+        # de-dup: against the ring, the live beam (ring wraparound can have
+        # forgotten beam members), and within the candidate block itself
+        seen = (cand[:, :, None] == ring[:, None, :]).any(-1)
+        in_beam = (cand[:, :, None] == beam_ids[:, None, :]).any(-1)
+        first_occur = (cand[:, :, None] == cand[:, None, :]).astype(jnp.int32)
+        is_dup = (jnp.cumsum(first_occur, axis=-1).diagonal(axis1=1, axis2=2) > 1)
+        fresh = ~seen & ~in_beam & ~is_dup & (cand < n)
+        cand = jnp.where(fresh, cand, n)
+
+        # score fresh candidates on the signature prefix
+        cd = _eq_dist_rows(sigs_p, q_prefix, cand)
+        cd = jnp.where(fresh, cd, big)
+
+        # merge into beam
+        all_ids = jnp.concatenate([beam_ids, cand], axis=1)
+        all_d = jnp.concatenate([beam_d, cd], axis=1)
+        all_x = jnp.concatenate([expanded, jnp.zeros_like(fresh)], axis=1)
+        negd, keep = jax.lax.top_k(-all_d, ef)
+        beam_ids = jnp.take_along_axis(all_ids, keep, axis=1)
+        beam_d = -negd
+        expanded = jnp.take_along_axis(all_x, keep, axis=1)
+
+        # append candidates to ring (fixed-position rolling window)
+        ring = jax.lax.dynamic_update_slice(
+            ring, cand, (0, ring_pos % jnp.int32(max(vis_size - expand * m0, 1)))
+        )
+        ring_pos = ring_pos + expand * m0
+        return (beam_ids, beam_d, expanded, ring, ring_pos), None
+
+    (beam_ids, beam_d, expanded, ring, ring_pos), _ = jax.lax.scan(
+        hop, (beam_ids, beam_d, expanded, ring, ring_pos), None, length=hops
+    )
+
+    # full-signature rerank of the final beam
+    full_d = _eq_dist_rows(
+        jnp.concatenate([sigs_full, jnp.zeros((1, sigs_full.shape[1]), sigs_full.dtype)], 0),
+        q_full,
+        beam_ids,
+    )
+    full_d = jnp.where(beam_ids >= n, big, full_d)
+    negd, keep = jax.lax.top_k(-full_d, knbn)
+    ids = jnp.take_along_axis(beam_ids, keep, axis=1)
+    return -negd, ids

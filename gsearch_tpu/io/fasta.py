@@ -1,0 +1,153 @@
+"""FASTA parsing with transparent decompression.
+
+Capability-equivalent of the reference's needletail-based parsers
+(reference: src/dna/dnafiles.rs:43-360, src/aa/aafiles.rs:32-292):
+
+  - `parse_fasta`         — stream (id, sequence-bytes) records,
+  - `concat_file_codes`   — "one block" mode: the whole file as a single
+                            code array (process_file_in_one_block,
+                            dnafiles.rs:200-276),
+  - `file_records_codes`  — per-record mode (process_file_by_sequence,
+                            dnafiles.rs:43-107).
+
+Records whose fasta id contains "capsid" are skipped exactly as in the
+reference (dnafiles.rs:67,145,248,329).
+
+Decompression: .gz / .xz / .bz2 (reference: needletail transparent
+decompression + the suffix checks in src/utils/files.rs:117-146).
+
+Block mode deviates from the reference in one deliberate way: records are
+joined with a single invalid code (k-mer break) instead of raw
+concatenation, so no artificial junction k-mers are produced.
+
+A native C++ fast path (mmap + SIMD-friendly scan) can be slotted in behind
+`parse_fasta`; the numpy path already parses at several hundred MB/s.
+"""
+
+from __future__ import annotations
+
+import bz2
+import dataclasses
+import gzip
+import io
+import lzma
+import os
+from typing import Callable, Iterator, List, Tuple
+
+import numpy as np
+
+from .codec import DNA_INVALID, encode_aa, encode_dna
+
+
+@dataclasses.dataclass
+class FastaRecord:
+    fasta_id: str  # first whitespace-delimited token of the header
+    seq: bytes
+    header: str = ""  # full header line (capsid filtering scans all of it)
+
+
+def _open_maybe_compressed(path: str) -> io.BufferedReader:
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    if path.endswith(".xz"):
+        return lzma.open(path, "rb")
+    if path.endswith(".bz2"):
+        return bz2.open(path, "rb")
+    return open(path, "rb")
+
+
+def read_file_bytes(path: str) -> bytes:
+    """Slurp + decompress a whole file (the reference's `file_to_buffer`,
+    src/utils/files.rs:220-249)."""
+    with _open_maybe_compressed(path) as f:
+        return f.read()
+
+
+def parse_fasta(path: str | None = None, data: bytes | None = None) -> Iterator[FastaRecord]:
+    """Stream FASTA records from a path or an in-memory buffer."""
+    if data is None:
+        assert path is not None
+        data = read_file_bytes(path)
+    # split on header markers; fragment 0 is pre-header junk (usually empty)
+    pos = data.find(b">")
+    if pos < 0:
+        return
+    for chunk in data[pos + 1 :].split(b">"):
+        nl = chunk.find(b"\n")
+        if nl < 0:
+            continue
+        header = chunk[:nl].strip()
+        fasta_id = header.split()[0].decode("utf-8", "replace") if header else ""
+        seq = chunk[nl + 1 :].replace(b"\n", b"").replace(b"\r", b"")
+        yield FastaRecord(
+            fasta_id=fasta_id, seq=seq, header=header.decode("utf-8", "replace")
+        )
+
+
+def _encoder(is_aa: bool) -> Callable[[bytes], np.ndarray]:
+    return encode_aa if is_aa else encode_dna
+
+
+def _keep(rec: FastaRecord, min_seq_size: int) -> bool:
+    # "capsid" skip: dnafiles.rs:67; min-size filter: parameters.rs:26-29
+    if "capsid" in (rec.header or rec.fasta_id):
+        return False
+    return len(rec.seq) >= min_seq_size
+
+
+def concat_file_codes(
+    path: str, is_aa: bool = False, min_seq_size: int = 0, data: bytes | None = None
+) -> Tuple[np.ndarray, str, int]:
+    """One-block mode: encode every kept record of the file into a single
+    code array, records separated by one invalid code.
+
+    Returns (codes, first_fasta_id, total_bases).  The dictionary entry for
+    a block is the file with its first record's id and the total residue
+    count (reference: dnafiles.rs:200-276).
+    """
+    if data is None:
+        data = read_file_bytes(path)
+    from .native import native_concat_codes
+
+    native = native_concat_codes(data, is_aa, min_seq_size)
+    if native is not None:
+        return native
+    enc = _encoder(is_aa)
+    parts: List[np.ndarray] = []
+    first_id = ""
+    total = 0
+    sep = np.array([DNA_INVALID], dtype=np.uint8)
+    for rec in parse_fasta(path, data=data):
+        if not _keep(rec, min_seq_size):
+            continue
+        if not first_id:
+            first_id = rec.fasta_id
+        if parts:
+            parts.append(sep)
+        codes = enc(rec.seq)
+        total += len(codes)
+        parts.append(codes)
+    if not parts:
+        return np.empty(0, dtype=np.uint8), first_id, 0
+    return np.concatenate(parts), first_id, total
+
+
+def file_records_codes(
+    path: str, is_aa: bool = False, min_seq_size: int = 0, data: bytes | None = None
+) -> List[Tuple[np.ndarray, str]]:
+    """Per-record mode: one (codes, fasta_id) per kept record
+    (reference: dnafiles.rs:43-107)."""
+    if data is None:
+        data = read_file_bytes(path)
+    from .native import native_records_codes
+
+    native = native_records_codes(data, is_aa, min_seq_size)
+    if native is not None:
+        return native
+    enc = _encoder(is_aa)
+    out = []
+    for rec in parse_fasta(path, data=data):
+        if not _keep(rec, min_seq_size):
+            continue
+        out.append((enc(rec.seq), rec.fasta_id))
+    return out

@@ -1,0 +1,110 @@
+"""ctypes bindings for the native FASTA parse+encode library.
+
+Loads native/libfastaparse.so when present (build with native/build.sh);
+all callers fall back to the pure-Python path transparently when absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_ID_CAP = 512
+
+
+def _find_lib() -> Optional[str]:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cand = os.path.join(here, "native", "libfastaparse.so")
+    return cand if os.path.exists(cand) else None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _find_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.fasta_concat_codes.restype = ctypes.c_long
+    lib.fasta_concat_codes.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.fasta_records_codes.restype = ctypes.c_long
+    lib.fasta_records_codes.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_size_t), ctypes.c_long,
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def native_concat_codes(
+    data: bytes, is_aa: bool, min_seq_size: int
+) -> Optional[Tuple[np.ndarray, str, int]]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(len(data) + 1, dtype=np.uint8)
+    out_len = ctypes.c_size_t(0)
+    total = ctypes.c_size_t(0)
+    first_id = ctypes.create_string_buffer(_ID_CAP)
+    kept = lib.fasta_concat_codes(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+        1 if is_aa else 0, min_seq_size,
+        ctypes.byref(out_len), first_id, _ID_CAP,
+        ctypes.byref(total),
+    )
+    if kept < 0:
+        return None
+    return out[: out_len.value], first_id.value.decode("utf-8", "replace"), int(total.value)
+
+
+def native_records_codes(
+    data: bytes, is_aa: bool, min_seq_size: int, max_records: int = 1 << 20
+) -> Optional[List[Tuple[np.ndarray, str]]]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(len(data) + 1, dtype=np.uint8)
+    offsets = np.zeros(max_records, dtype=np.uintp)
+    lengths = np.zeros(max_records, dtype=np.uintp)
+    ids = ctypes.create_string_buffer(max_records * 64)
+    out_len = ctypes.c_size_t(0)
+    kept = lib.fasta_records_codes(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+        1 if is_aa else 0, min_seq_size,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        max_records, ids, 64,
+        ctypes.byref(out_len),
+    )
+    if kept < 0:
+        return None
+    result = []
+    raw = ids.raw
+    for i in range(kept):
+        o, l = int(offsets[i]), int(lengths[i])
+        ident = raw[i * 64 : (i + 1) * 64].split(b"\0", 1)[0].decode("utf-8", "replace")
+        result.append((out[o : o + l], ident))
+    return result

@@ -1,0 +1,158 @@
+"""Sketcher base: host orchestration of the device sketch kernels.
+
+Equivalent in role to the reference's SeqSketcherT / SeqSketcherAAT traits
+(`sketch_compressedkmer` — one signature per sequence — and
+`sketch_compressedkmer_seqs` — one signature for a concatenation; reference
+call sites: src/dna/dnasketch.rs:336,357 and src/aa/aasketch.rs:313,329).
+
+TPU streaming model: a genome arrives as a uint8 code array of arbitrary
+length.  It is padded to one of a small set of power-of-two block lengths
+(so XLA compiles a handful of shapes, then every genome on Earth reuses
+them) and pushed through the algorithm's dart kernel; genomes longer than
+the largest block stream through it in overlapping pieces whose partial
+races merge with the associative `combine_race`.  The final signature
+transform (densification, register discretization, ...) is a second, tiny
+jitted function.
+
+Every sketcher is deterministic in (algorithm, k, sketch_size, seed): the
+same k-mer produces the same darts in any genome, which is the coupling
+that makes slot-equality estimate Jaccard.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.params import DataType, SeqSketcherParams, SketchAlgo
+from ..ops.kmer import AA_BITS, canonical_dna_windows, kmer_windows
+from ..ops.race import RaceResult, bucket_min, combine_race, empty_race
+from ..utils import get_logger
+
+log = get_logger(__name__)
+
+# block-length buckets: min keeps tiny-genome latency low, max bounds the
+# on-device sort size (darts can be 2x the block length).  Buckets step by
+# 4x to keep the number of compiled shapes small — XLA compilation is
+# remote-serviced in this environment and each distinct sort shape costs
+# real wall-clock the first time.
+_MIN_BLOCK_LOG2 = 14
+_MAX_BLOCK_LOG2 = 22
+_BLOCK_STEP_LOG2 = 2
+
+
+def block_length(n: int) -> int:
+    nb = 1 << _MIN_BLOCK_LOG2
+    while nb < n and nb < (1 << _MAX_BLOCK_LOG2):
+        nb <<= _BLOCK_STEP_LOG2
+    return min(nb, 1 << _MAX_BLOCK_LOG2)
+
+
+class SketcherBase:
+    """Shared machinery; subclasses define the dart generation + finalize."""
+
+    SIG_DTYPE = np.float32
+
+    def __init__(self, params: SeqSketcherParams, seed: int = 0x5EED):
+        self.params = params
+        self.k = params.kmer_size
+        self.nb_slots = params.sketch_size
+        self.seed = seed
+        self.is_aa = params.data_t == DataType.AA
+        if self.is_aa and params.kmer_size > 12:
+            raise ValueError("AA kmer_size must be <= 12 (reference: aasketch.rs:464)")
+
+    # ---- subclass interface -------------------------------------------------
+
+    def _darts(self, hi, lo, valid):
+        """(hi, lo, valid) windows -> (slots, keys, payload, dart_valid).
+
+        Returned arrays may be longer than the window count (multiple darts
+        per window are concatenated along the last axis)."""
+        raise NotImplementedError
+
+    def _finalize_race(self, race: RaceResult) -> jnp.ndarray:
+        """RaceResult -> signature vector [nb_slots] of SIG_DTYPE."""
+        raise NotImplementedError
+
+    # ---- device functions (cached per block shape) --------------------------
+
+    def _windows(self, codes: jnp.ndarray):
+        if self.is_aa:
+            return kmer_windows(codes, self.k, AA_BITS)
+        return canonical_dna_windows(codes, self.k)
+
+    @functools.lru_cache(maxsize=None)
+    def _block_fn(self, nb: int):
+        def run(codes: jnp.ndarray) -> RaceResult:
+            hi, lo, valid = self._windows(codes)
+            slots, keys, payload, dvalid = self._darts(hi, lo, valid)
+            return bucket_min(slots, keys, self.nb_slots, payload=payload, valid=dvalid)
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _combine_fn(self):
+        return jax.jit(combine_race)
+
+    @functools.cached_property
+    def _finalize_fn(self):
+        return jax.jit(self._finalize_race)
+
+    # ---- public API ----------------------------------------------------------
+
+    def sketch_codes(self, codes: np.ndarray) -> np.ndarray:
+        """One genome (uint8 code array) -> one signature [nb_slots]."""
+        race = self._race_codes(codes)
+        return np.asarray(self._finalize_fn(race))
+
+    def _race_codes(self, codes: np.ndarray) -> RaceResult:
+        n = len(codes)
+        max_block = 1 << _MAX_BLOCK_LOG2
+        if n <= max_block:
+            return self._run_block(codes)
+        # stream long genomes through max-size pieces overlapping by k-1 so
+        # no window is lost at piece boundaries
+        race = None
+        step = max_block - (self.k - 1)
+        for start in range(0, n, step):
+            piece = codes[start : start + max_block]
+            r = self._run_block(piece)
+            race = r if race is None else self._combine_fn(race, r)
+        return race
+
+    def _run_block(self, codes: np.ndarray) -> RaceResult:
+        nb = block_length(len(codes))
+        if len(codes) < nb:
+            codes = np.pad(codes, (0, nb - len(codes)), constant_values=255)
+        return self._block_fn(nb)(jnp.asarray(codes))
+
+    def sketch_many(self, codes_list: Sequence[np.ndarray]) -> np.ndarray:
+        """Signatures for a list of genomes, stacked [B, nb_slots]."""
+        out = np.empty((len(codes_list), self.nb_slots), dtype=self.SIG_DTYPE)
+        for i, codes in enumerate(codes_list):
+            out[i] = self.sketch_codes(codes)
+        return out
+
+
+def make_sketcher(params: SeqSketcherParams, seed: int = 0x5EED) -> SketcherBase:
+    """Algorithm dispatch, the analog of the reference's static dispatch in
+    dna_process_tohnsw / aa_process_tohnsw (dnasketch.rs:493-644)."""
+    from .optdens import OptDensSketcher, RevOptDensSketcher
+    from .probminhash import ProbMinHashSketcher
+    from .setsketch import SetSketchSketcher
+    from .superminhash import SuperMinHash2Sketcher, SuperMinHashSketcher
+
+    table = {
+        SketchAlgo.OPTDENS: OptDensSketcher,
+        SketchAlgo.REVOPTDENS: RevOptDensSketcher,
+        SketchAlgo.SUPER: SuperMinHashSketcher,
+        SketchAlgo.SUPER2: SuperMinHash2Sketcher,
+        SketchAlgo.PROB3A: ProbMinHashSketcher,
+        SketchAlgo.HLL: SetSketchSketcher,
+    }
+    return table[params.algo](params, seed=seed)

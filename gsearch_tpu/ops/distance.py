@@ -1,0 +1,207 @@
+"""Sketch distance kernels: Hamming fraction over signature vectors.
+
+The metric everywhere in the reference is DistHamming over sketch vectors —
+the fraction of differing slots, which estimates 1 - Jaccard for every
+MinHash-family signature (reference: src/dna/dnasketch.rs:103-104,139;
+src/bin/bindash.rs:93-99).
+
+TPU formulation: one fused equal-count kernel over [Q, S] x [N, S] tiles.
+The elementwise compare + reduce runs on the VPU at full HBM bandwidth;
+each (query-tile, db-tile) pair reuses both operands from VMEM, so arith
+intensity scales with the tile sizes (Pallas path).  A pure-XLA path with
+identical semantics backs it on CPU and serves as the correctness oracle.
+
+`brute_force_knn` is both the small-database fast path and the recall
+oracle for the ANN index (SURVEY.md §7 step 4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..utils import get_logger
+
+log = get_logger(__name__)
+
+_LANE = 128
+
+
+def _pad_axis(x: jnp.ndarray, axis: int, mult: int, value) -> jnp.ndarray:
+    n = x.shape[axis]
+    rem = (-n) % mult
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad, constant_values=value)
+
+
+def hamming_frac_xla(q: jnp.ndarray, db: jnp.ndarray, chunk: int = 2048) -> jnp.ndarray:
+    """Reference implementation: [Q, S] x [N, S] -> [Q, N] float32 distances."""
+    s = q.shape[-1]
+    nq = q.shape[0]
+    n = db.shape[0]
+
+    def one_chunk(i):
+        dbc = jax.lax.dynamic_slice_in_dim(db, i * chunk, chunk, axis=0)
+        eq = (q[:, None, :] == dbc[None, :, :]).sum(axis=-1)
+        return eq
+
+    if n <= chunk:
+        eq = (q[:, None, :] == db[None, :, :]).sum(axis=-1)
+    else:
+        db_p = _pad_axis(db, 0, chunk, 0)
+        q_pad_differs = db_p  # padding rows compare arbitrarily; sliced off below
+        del q_pad_differs
+        nch = db_p.shape[0] // chunk
+        eq = jax.lax.map(
+            lambda i: (q[:, None, :] == jax.lax.dynamic_slice_in_dim(db_p, i * chunk, chunk, 0)[None, :, :]).sum(-1),
+            jnp.arange(nch),
+        )
+        eq = jnp.moveaxis(eq, 0, 1).reshape(nq, nch * chunk)[:, :n]
+    return (1.0 - eq.astype(jnp.float32) / jnp.float32(s)).astype(jnp.float32)
+
+
+def _eqcount_kernel(q_ref, d_ref, o_ref, *, inner: int, s_true: int):
+    """One (q-tile, db-tile, s-block) grid cell: accumulate equal counts.
+
+    The s-block axis is the innermost grid dimension, so o_ref stays
+    resident in VMEM across the whole S sweep (revisiting accumulation)."""
+    tq = q_ref.shape[0]
+    tn = d_ref.shape[0]
+    sb = q_ref.shape[1]
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:, :] = jnp.zeros((tq, tn), jnp.float32)
+
+    def body(c, acc):
+        qb = q_ref[:, pl.ds(c * inner, inner)]
+        db = d_ref[:, pl.ds(c * inner, inner)]
+        eq = (qb[:, None, :] == db[None, :, :]).astype(jnp.float32)
+        return acc + jnp.sum(eq, axis=-1)
+
+    # fori_loop (not Python unroll) so the [tq, tn, inner] compare buffer is
+    # allocated once, not once per chunk (VMEM stack is only ~16MB)
+    acc = jax.lax.fori_loop(0, sb // inner, body, jnp.zeros((tq, tn), jnp.float32))
+    o_ref[:, :] += acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:, :] = 1.0 - o_ref[:, :] / jnp.float32(s_true)
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "tn", "sb", "inner", "interpret"))
+def hamming_frac_pallas(
+    q: jnp.ndarray, db: jnp.ndarray, tq: int = 16, tn: int = 256, sb: int = 2048,
+    inner: int = 128, interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused Pallas equal-count distance: [Q, S] x [N, S] -> [Q, N] f32.
+
+    Signature slots are compared bit-exactly; q/db are padded along S with
+    distinct sentinels (0 vs 1) so padding never counts as equal, and the
+    true S is used as the normalizer.  Grid = (Q, N, S) tiles with the
+    S-axis innermost: the [tq, tn] accumulator lives in VMEM for the whole
+    sweep and input blocks stay small enough to double-buffer.
+    """
+    s_true = q.shape[-1]
+    assert db.shape[-1] == s_true
+    if q.dtype != db.dtype:
+        raise ValueError(f"dtype mismatch {q.dtype} vs {db.dtype}")
+    # compare as uint32 bit patterns so one kernel serves f32/u32/u16 sigs
+    if q.dtype == jnp.float32:
+        q = q.view(jnp.uint32)
+        db = db.view(jnp.uint32)
+    elif q.dtype == jnp.uint16:
+        q = q.astype(jnp.uint32)
+        db = db.astype(jnp.uint32)
+
+    sb = min(sb, _round_up_int(s_true, inner))
+    q = _pad_axis(q, -1, sb, 0)
+    db = _pad_axis(db, -1, sb, 1)
+    nq, n = q.shape[0], db.shape[0]
+    tq = min(tq, _round_up_int(nq, 8))
+    tn = min(tn, _round_up_int(n, 128))
+    q = _pad_axis(q, 0, tq, 0)
+    db = _pad_axis(db, 0, tn, 1)
+    s_pad = q.shape[-1]
+
+    grid = (q.shape[0] // tq, db.shape[0] // tn, s_pad // sb)
+    out = pl.pallas_call(
+        functools.partial(_eqcount_kernel, inner=inner, s_true=s_true),
+        out_shape=jax.ShapeDtypeStruct((q.shape[0], db.shape[0]), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, sb), lambda i, j, k: (i, k)),
+            pl.BlockSpec((tn, sb), lambda i, j, k: (j, k)),
+        ],
+        out_specs=pl.BlockSpec((tq, tn), lambda i, j, k: (i, j)),
+        interpret=interpret,
+    )(q, db)
+    return out[:nq, :n]
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def hamming_frac(q: jnp.ndarray, db: jnp.ndarray, impl: str | None = None) -> jnp.ndarray:
+    """Dispatch: Pallas on TPU, XLA elsewhere (and as oracle)."""
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return hamming_frac_pallas(q, db)
+    return hamming_frac_xla(q, db)
+
+
+def brute_force_knn(
+    q: jnp.ndarray, db: jnp.ndarray, knbn: int, impl: str | None = None
+):
+    """Exact top-k by sketch distance. Returns (distances [Q,k], ids [Q,k])."""
+    d = hamming_frac(q, db, impl=impl)
+    neg, ids = jax.lax.top_k(-d, knbn)
+    return -neg, ids
+
+
+def _next_bucket(n: int, floor: int) -> int:
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
+def bucketed_knn(q: np.ndarray, db: np.ndarray, knbn: int, impl: str | None = None):
+    """brute_force_knn with Q and N padded to power-of-two buckets so
+    growing databases / varying batch sizes reuse compiled programs
+    (compiles are remote-serviced and expensive in this environment).
+    Pad rows get +inf distance, so results are exact."""
+    import numpy as _np
+
+    nq, n = q.shape[0], db.shape[0]
+    qb = _next_bucket(nq, 8)
+    nb = _next_bucket(n, 16)
+    if qb != nq:
+        q = _np.concatenate([q, _np.zeros((qb - nq,) + q.shape[1:], q.dtype)], axis=0)
+    if nb != n:
+        db = _np.concatenate([db, _np.zeros((nb - n,) + db.shape[1:], db.dtype)], axis=0)
+    d, ids = _bucketed_knn_jit(
+        jnp.asarray(q), jnp.asarray(db), jnp.int32(n), knbn=min(knbn, n), impl=impl
+    )
+    return _np.asarray(d)[:nq], _np.asarray(ids)[:nq]
+
+
+@functools.partial(jax.jit, static_argnames=("knbn", "impl"))
+def _bucketed_knn_jit(q, db, n, *, knbn: int, impl):
+    # n is a traced scalar: one compiled program serves every fill level of
+    # the bucket; pad rows are masked to +inf
+    d = hamming_frac(q, db, impl=impl)
+    col = jnp.arange(db.shape[0], dtype=jnp.int32)
+    d = jnp.where(col[None, :] < n, d, jnp.inf)
+    neg, ids = jax.lax.top_k(-d, knbn)
+    return -neg, ids

@@ -1,0 +1,99 @@
+"""The unified "dart race" primitive: per-slot minimum over hashed darts.
+
+Every sketching algorithm in this framework (OptDens/RevOptDens OPH,
+SuperMinHash, ProbMinHash, SetSketch/HLL) reduces to the same device
+pattern: a stream of darts (slot, key[, payload]) where two genomes sharing
+a k-mer produce identical darts, and the signature slot s keeps the dart
+with the minimal key among all darts aimed at s.  On CPU the reference
+implements each of these as a hash-table / heap inner loop inside
+probminhash (reference call sites: src/dna/dnasketch.rs:336,357); on TPU we
+replace all of them with one batched lexicographic sort + run-head lookup —
+no scatters, no pointer chasing, fully MXU/VPU-friendly shapes.
+
+bucket_min(slots, keys, payload):
+  1. sort darts by (slot, key, payload)  — jax.lax.sort, 3 operands, 2 keys
+  2. the first dart of each slot-run is that slot's winner
+  3. winners are extracted with a vectorized binary search (searchsorted)
+     of [0..S) into the sorted slot column — S gathers, not N scatters.
+
+Chunked/streaming sketching combines partial races with `combine_race`,
+an associative elementwise min — so genomes of any length stream through
+fixed-shape device batches without recompilation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class RaceResult(NamedTuple):
+    found: jnp.ndarray    # bool [..., S] — slot received at least one dart
+    key: jnp.ndarray      # uint32 [..., S] — minimal key (undefined where !found)
+    payload: jnp.ndarray  # uint32 [..., S] — payload of the winning dart
+
+
+def bucket_min(
+    slots: jnp.ndarray,
+    keys: jnp.ndarray,
+    nb_slots: int,
+    payload: Optional[jnp.ndarray] = None,
+    valid: Optional[jnp.ndarray] = None,
+) -> RaceResult:
+    """Per-slot minimum-key dart over the last axis.
+
+    slots: int32 [..., N] in [0, nb_slots); keys: uint32 [..., N];
+    payload: optional uint32 [..., N]; valid: optional bool [..., N].
+    Invalid darts are routed to a virtual overflow slot == nb_slots.
+    """
+    slots = slots.astype(jnp.int32)
+    if valid is not None:
+        slots = jnp.where(valid, slots, jnp.int32(nb_slots))
+    operands = [slots, keys]
+    if payload is not None:
+        operands.append(payload)
+    sorted_ops = jax.lax.sort(tuple(operands), dimension=-1, num_keys=min(len(operands), 3))
+    s_slots, s_keys = sorted_ops[0], sorted_ops[1]
+    s_pay = sorted_ops[2] if payload is not None else s_keys
+
+    targets = jnp.arange(nb_slots, dtype=jnp.int32)
+
+    def row_search(srow):
+        return jnp.searchsorted(srow, targets, side="left").astype(jnp.int32)
+
+    batch_shape = slots.shape[:-1]
+    n = slots.shape[-1]
+    flat_slots = s_slots.reshape((-1, n))
+    idx = jax.vmap(row_search)(flat_slots).reshape(batch_shape + (nb_slots,))
+
+    idx_c = jnp.minimum(idx, n - 1)
+    hit = jnp.take_along_axis(s_slots, idx_c, axis=-1)
+    found = (hit == targets) & (idx < n)
+    key = jnp.take_along_axis(s_keys, idx_c, axis=-1)
+    pay = jnp.take_along_axis(s_pay, idx_c, axis=-1)
+    return RaceResult(found=found, key=key, payload=pay)
+
+
+def combine_race(a: RaceResult, b: RaceResult) -> RaceResult:
+    """Associative merge of two partial races (elementwise min by
+    (key, payload) with found-ness dominance)."""
+    a_wins = a.found & (
+        ~b.found
+        | (a.key < b.key)
+        | ((a.key == b.key) & (a.payload <= b.payload))
+    )
+    return RaceResult(
+        found=a.found | b.found,
+        key=jnp.where(a_wins, a.key, b.key),
+        payload=jnp.where(a_wins, a.payload, b.payload),
+    )
+
+
+def empty_race(batch_shape: tuple, nb_slots: int) -> RaceResult:
+    return RaceResult(
+        found=jnp.zeros(batch_shape + (nb_slots,), dtype=jnp.bool_),
+        key=jnp.full(batch_shape + (nb_slots,), 0xFFFFFFFF, dtype=jnp.uint32),
+        payload=jnp.zeros(batch_shape + (nb_slots,), dtype=jnp.uint32),
+    )

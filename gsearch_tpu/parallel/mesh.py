@@ -1,0 +1,142 @@
+"""Multi-chip scale-out: sharded sketch + sharded search over a device mesh.
+
+The reference's "distributed backend" is offline bash sharding: split the
+genome dir into N pieces, build N independent indexes, search each, merge
+results by hand (reference: scripts/split_folder.sh, multiple_build.sh,
+multiple_search.sh; README.md:402-413 — todo.md item 3 notes the N-piece
+search is "algorithmically equal" to one index).  Here that becomes a
+first-class jax.sharding design:
+
+  * database signatures [N, S] are sharded over the mesh 'd' axis (each
+    chip holds a contiguous row shard — the analog of one bash "piece"),
+  * queries are replicated (they ride broadcast, tiny next to the db),
+  * each chip computes its local exact top-k with the fused distance
+    kernel, and the per-shard candidates are merged with an ICI all-gather
+    + final lax.top_k — a few KB per query instead of re-sketching per
+    shard as the scripts do,
+  * genome sketching is data-parallel: code blocks shard over 'd' and the
+    dart race runs per-chip with no communication at all,
+  * optionally the signature dimension S shards over a second mesh axis
+    's': each chip scores a slice of the sketch slots and the equal-counts
+    reduce with a psum over 's' before the top-k (useful when S is huge or
+    to overlap HBM reads across chips).
+
+Everything is shard_map + XLA collectives; no NCCL/MPI translation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..utils import get_logger
+
+log = get_logger(__name__)
+
+
+def make_device_mesh(n_devices: int | None = None, two_d: bool = False) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if two_d and n % 2 == 0 and n >= 4:
+        return jax.make_mesh((n // 2, 2), ("d", "s"), devices=devs[:n])
+    return jax.make_mesh((n,), ("d",), devices=devs[:n])
+
+
+def _local_eqcount(q: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
+    """equal-slot counts [Q, Nlocal] (f32) — per-shard partial work."""
+    return (q[:, None, :] == db[None, :, :]).sum(axis=-1).astype(jnp.float32)
+
+
+def sharded_knn(mesh: Mesh, s_total: int, knbn: int):
+    """Build the jitted sharded search step: (db_shard, queries) -> (d, ids).
+
+    db is laid out P('d', ['s']) and queries P(None, ['s']); output is fully
+    replicated (every chip returns the merged global top-k).
+    """
+    has_s = "s" in mesh.axis_names
+
+    in_specs = (P("d", "s") if has_s else P("d", None), P(None, "s") if has_s else P(None, None))
+    out_specs = (P(None, None), P(None, None))
+
+    def step(db_local: jnp.ndarray, q_local: jnp.ndarray):
+        eq = _local_eqcount(q_local, db_local)
+        if has_s:
+            eq = jax.lax.psum(eq, "s")  # combine sketch-dim partial counts
+        d = 1.0 - eq / jnp.float32(s_total)
+        k = min(knbn, db_local.shape[0])
+        neg, idx = jax.lax.top_k(-d, k)
+        shard = jax.lax.axis_index("d")
+        gids = (idx + shard * db_local.shape[0]).astype(jnp.int32)
+        # merge candidates across row shards over ICI
+        all_d = jax.lax.all_gather(-neg, "d", axis=1, tiled=True)  # [Q, D*k]
+        all_g = jax.lax.all_gather(gids, "d", axis=1, tiled=True)
+        neg2, sel = jax.lax.top_k(-all_d, knbn)
+        return -neg2, jnp.take_along_axis(all_g, sel, axis=1)
+
+    # outputs are value-identical on every device after the all_gather +
+    # final top_k, but the varying-manual-axes checker cannot prove it
+    # (they data-depend on axis_index), hence check_vma=False
+    fn = jax.shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_sketch_and_knn_step(mesh: Mesh, sketcher, block_len: int, knbn: int):
+    """The full multi-chip pipeline step: dp-sharded sketching of a genome
+    batch + sharded exact search of the fresh signatures against the
+    database — the index-build inner loop at pod scale.
+
+    Returns a jitted fn (codes [B, L] u8, db_shard [N, S]) ->
+    (sigs [B, S], dists [B, k], ids [B, k]) with codes sharded over 'd'
+    on the batch axis and db sharded over 'd' on rows.
+    """
+    s_total = sketcher.nb_slots
+    if "s" in mesh.axis_names:
+        raise ValueError(
+            "sketch step shards the batch only; use a 1-D ('d',) mesh "
+            "(the sketch kernel produces all S slots per chip)"
+        )
+
+    def sketch_block(codes: jnp.ndarray) -> jnp.ndarray:
+        hi, lo, valid = sketcher._windows(codes)
+        slots, keys, payload, dvalid = sketcher._darts(hi, lo, valid)
+        from ..ops.race import bucket_min
+
+        race = bucket_min(slots, keys, s_total, payload=payload, valid=dvalid)
+        return sketcher._finalize_race(race)
+
+    def step(codes_local: jnp.ndarray, db_local: jnp.ndarray):
+        sigs_local = jax.vmap(sketch_block)(codes_local)  # [B/D, S] on-chip
+        # replicate fresh sigs for the search (B is tiny vs N)
+        sigs_all = jax.lax.all_gather(sigs_local, "d", axis=0, tiled=True)
+        q = sigs_all
+        eq = _local_eqcount(q.view(jnp.uint32) if q.dtype == jnp.float32 else q,
+                            db_local.view(jnp.uint32) if db_local.dtype == jnp.float32 else db_local)
+        d = 1.0 - eq / jnp.float32(s_total)
+        k = min(knbn, db_local.shape[0])
+        neg, idx = jax.lax.top_k(-d, k)
+        shard = jax.lax.axis_index("d")
+        gids = (idx + shard * db_local.shape[0]).astype(jnp.int32)
+        all_d = jax.lax.all_gather(-neg, "d", axis=1, tiled=True)
+        all_g = jax.lax.all_gather(gids, "d", axis=1, tiled=True)
+        neg2, sel = jax.lax.top_k(-all_d, knbn)
+        return sigs_all, -neg2, jnp.take_along_axis(all_g, sel, axis=1)
+
+    in_specs = (P("d", None), P("d", None))
+    out_specs = (P(None, None), P(None, None), P(None, None))
+    fn = jax.shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_vma=False)
+    return jax.jit(fn)
+
+
+def shard_database(db: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Place a [N, S] signature matrix row-sharded (+ col-sharded if the
+    mesh has an 's' axis) across the mesh."""
+    has_s = "s" in mesh.axis_names
+    spec = P("d", "s") if has_s else P("d", None)
+    return jax.device_put(db, jax.sharding.NamedSharding(mesh, spec))

@@ -1,0 +1,203 @@
+"""Orchestration pipelines: build (tohnsw), add, and request.
+
+Capability-equivalent of the reference's L4 layer
+(`sketchandstore_dir_compressedkmer`, src/dna/dnasketch.rs:64-477;
+`sketch_and_request_dir_compressedkmer`, src/dna/dnarequest.rs:64-388;
+and their AA mirrors).  The reference pipelines are 3 thread groups joined
+by channels (producer -> sketchers -> collector); here the sketch stage IS
+the TPU, so the pipeline reduces to: host ingest (grouped parallel IO +
+parse, the --pio analog) -> device sketch kernels -> index insert -> dump.
+
+Both DNA and AA flow through the same generic code — the dispatch over
+algorithm x k-mer width that the reference does with 150 lines of static
+type dispatch per mode (dnasketch.rs:493-644, aasketch.rs:449-552) is a
+table lookup in models.make_sketcher plus the (hi, lo) lane-pair k-mer
+representation that covers every width uniformly.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Tuple
+
+import numpy as np
+
+from .core import ComputingParams, ProcessingParams, ProcessingState, SeqDict
+from .core.seqdict import Id, ItemDict
+from .index import FlatIndex
+from .index.hnsw import HnswIndex
+from .index.serialize import dumpall, load_index
+from .io.fasta import concat_file_codes, file_records_codes
+from .io.walk import iter_file_buffers, walk_fasta_dir
+from .models import make_sketcher
+from .results.answer import Neighbour, ReqAnswer
+from .results.matcher import Matcher
+from .utils import StageTimer, get_logger
+
+log = get_logger(__name__)
+
+OUT_THRESHOLD = 0.99  # answer filter (reference: dnarequest.rs:83, matcher.rs:235)
+EF_SEARCH = 5000      # request-time ef (reference: gsearch.rs:893)
+NEIGHBORS_FILE = "gsearch.neighbors.txt"
+MATCHES_FILE = "gsearch.matches"
+
+# databases small enough for the exact index (strictly better recall and,
+# on TPU, better throughput than graph traversal at this scale)
+FLAT_AUTO_LIMIT = 200_000
+
+
+def _sketch_dir(
+    dirpath: str,
+    params: ProcessingParams,
+    computing: ComputingParams,
+    seqdict: SeqDict,
+    timer: StageTimer,
+) -> List[np.ndarray]:
+    """Walk + parse + sketch every FASTA under dirpath; extends seqdict and
+    returns one signature per dictionary entry, in rank order."""
+    is_aa = params.sketch.data_t.value == "AA"
+    sketcher = make_sketcher(params.sketch)
+    paths = walk_fasta_dir(dirpath, is_aa=is_aa)
+    if not paths:
+        raise FileNotFoundError(f"no FASTA files under {dirpath}")
+    log.info("found %d files under %s", len(paths), dirpath)
+    sigs: List[np.ndarray] = []
+    nb_seq = 0
+    t_report = time.time()
+    for filerank, path, data in iter_file_buffers(paths, computing.nb_files_par):
+        with timer.stage("parse"):
+            if params.block_flag:
+                units: List[Tuple[np.ndarray, str, int]] = []
+                codes, first_id, total = concat_file_codes(path, is_aa=is_aa, data=data)
+                if total > 0:
+                    units.append((codes, first_id, total))
+            else:
+                units = [
+                    (codes, fid, len(codes))
+                    for codes, fid in file_records_codes(path, is_aa=is_aa, data=data)
+                ]
+        for codes, fasta_id, length in units:
+            with timer.stage("sketch"):
+                sigs.append(sketcher.sketch_codes(codes))
+            seqdict.push(ItemDict(id=Id(path=path, fasta_id=fasta_id), len=length))
+            nb_seq += 1
+        if time.time() - t_report > 30:
+            log.info("processed %d/%d files, %d sequences", filerank + 1, len(paths), nb_seq)
+            t_report = time.time()
+    return sigs
+
+
+def _new_index(params: ProcessingParams, sig_dtype, kind: str, nb_hint: int):
+    if kind == "auto":
+        kind = "flat" if nb_hint <= FLAT_AUTO_LIMIT else "hnsw"
+    if kind == "flat":
+        return FlatIndex(params.sketch.sketch_size, sig_dtype)
+    return HnswIndex(
+        sketch_size=params.sketch.sketch_size,
+        sig_dtype=sig_dtype,
+        max_nb_conn=params.hnsw.max_nb_conn,
+        ef_construction=params.hnsw.ef,
+        scale_modification=params.hnsw.scale_modification,
+    )
+
+
+def build_database(
+    genome_dir: str,
+    out_dir: str,
+    params: ProcessingParams,
+    computing: ComputingParams | None = None,
+    index_kind: str = "auto",
+) -> dict:
+    """tohnsw: sketch a directory tree and build + dump a database
+    (reference call stack: SURVEY.md §3.1)."""
+    computing = computing or ComputingParams()
+    timer = StageTimer()
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    seqdict = SeqDict()
+    sigs = _sketch_dir(genome_dir, params, computing, seqdict, timer)
+    sig_mat = np.stack(sigs)
+    index = _new_index(params, sig_mat.dtype, index_kind, len(sigs))
+    with timer.stage("index_insert"):
+        index.insert(sig_mat)
+    assert index.nb_points == len(seqdict), "seqdict/index size mismatch"
+    state = ProcessingState(
+        nb_seq=len(seqdict),
+        nb_file=len({i.id.path for i in seqdict}),
+        elapsed_t=time.time() - t0,
+    )
+    with timer.stage("dump"):
+        dumpall(out_dir, index, seqdict, params, state)
+    report = timer.report()
+    log.info("build done: %d points in %.1fs %s", index.nb_points, time.time() - t0, report)
+    return {"nb_points": index.nb_points, "elapsed_s": time.time() - t0, "stages": report}
+
+
+def add_to_database(db_dir: str, new_dir: str, computing: ComputingParams | None = None) -> dict:
+    """add: incremental insertion, parameters reloaded from the database
+    (reference: SURVEY.md §3.3 — ids continue from seqdict length)."""
+    computing = computing or ComputingParams()
+    params = ProcessingParams.reload_json(db_dir)
+    seqdict = SeqDict.reload_json(db_dir)
+    state = ProcessingState.reload_json(db_dir)
+    index = load_index(db_dir)
+    assert index.nb_points == len(seqdict)
+    timer = StageTimer()
+    t0 = time.time()
+    sigs = _sketch_dir(new_dir, params, computing, seqdict, timer)
+    with timer.stage("index_insert"):
+        index.insert(np.stack(sigs))
+    assert index.nb_points == len(seqdict)
+    state.nb_seq = len(seqdict)
+    state.nb_file = len({i.id.path for i in seqdict})
+    state.elapsed_t += time.time() - t0
+    dumpall(db_dir, index, seqdict, params, state)
+    log.info("add done: now %d points (+%d)", index.nb_points, len(sigs))
+    return {"nb_points": index.nb_points, "added": len(sigs)}
+
+
+def request_database(
+    db_dir: str,
+    req_dir: str,
+    nb_answers: int,
+    computing: ComputingParams | None = None,
+    out_dir: str = ".",
+    ef_search: int = EF_SEARCH,
+) -> dict:
+    """request: batched k-NN of query genomes against a reloaded database
+    (reference call stack: SURVEY.md §3.2)."""
+    computing = computing or ComputingParams()
+    params = ProcessingParams.reload_json(db_dir)
+    seqdict = SeqDict.reload_json(db_dir)
+    index = load_index(db_dir)
+    timer = StageTimer()
+    req_dict = SeqDict()
+    sigs = _sketch_dir(req_dir, params, computing, req_dict, timer)
+    with timer.stage("search"):
+        dists, ids = index.search(np.stack(sigs), knbn=nb_answers, ef_search=ef_search)
+
+    matcher = Matcher(threshold=OUT_THRESHOLD)
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, NEIGHBORS_FILE)
+    nb_match = 0
+    with open(out_path, "w") as out:
+        out.write(f" query dir : {req_dir}")
+        for rank, item in enumerate(req_dict):
+            nbrs = [Neighbour(int(i), float(d)) for d, i in zip(dists[rank], ids[rank])]
+            ans = ReqAnswer(rank=rank, req_item=item, neighbours=nbrs)
+            nb_match += ans.dump(seqdict, OUT_THRESHOLD, out)
+            if not params.block_flag:
+                for n in nbrs:
+                    if n.distance < OUT_THRESHOLD:
+                        matcher.insert_sequence_match(item, seqdict[n.d_id], n.distance)
+    if not params.block_flag:
+        with open(os.path.join(out_dir, MATCHES_FILE), "w") as out:
+            matcher.analyze(out)
+    log.info("request done: %d requests, %d matches -> %s", len(req_dict), nb_match, out_path)
+    return {
+        "nb_requests": len(req_dict),
+        "nb_matches": nb_match,
+        "neighbors_file": out_path,
+        "stages": timer.report(),
+    }

@@ -1,0 +1,183 @@
+// Native FASTA parse + encode: the host-side hot path.
+//
+// Role parity: the reference leans on needletail (Rust) for FASTA parsing
+// and kmerutils' Alphabet2b for 2-bit encoding (reference call sites:
+// src/dna/dnafiles.rs:52,70-72; src/aa/aafiles.rs:11-28).  This is the
+// C++ equivalent feeding the TPU ingest pipeline: one pass over the
+// (already decompressed) byte buffer, emitting uint8 symbol codes
+// (DNA 0..3 / AA 0..19, 255 = invalid) with single-separator joins
+// between records, "capsid" records skipped (dnafiles.rs:67), and
+// min-size filtering (parameters.rs:26-29).
+//
+// Exposed via a C ABI for ctypes (no pybind11 in this image).
+//
+// Build: ./native/build.sh  (g++ -O3 -march=native -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+namespace {
+
+constexpr uint8_t INVALID = 255;
+
+struct Tables {
+    uint8_t dna[256];
+    uint8_t aa[256];
+    Tables() {
+        std::memset(dna, INVALID, sizeof(dna));
+        std::memset(aa, INVALID, sizeof(aa));
+        const char* d = "ACGT";
+        for (int i = 0; i < 4; ++i) {
+            dna[(uint8_t)d[i]] = (uint8_t)i;
+            dna[(uint8_t)(d[i] + 32)] = (uint8_t)i;  // lowercase
+        }
+        dna[(uint8_t)'U'] = 3; dna[(uint8_t)'u'] = 3;
+        const char* a = "ACDEFGHIKLMNPQRSTVWY";
+        for (int i = 0; i < 20; ++i) {
+            aa[(uint8_t)a[i]] = (uint8_t)i;
+            aa[(uint8_t)(a[i] + 32)] = (uint8_t)i;
+        }
+    }
+};
+const Tables kTables;
+
+inline bool header_has_capsid(const uint8_t* h, size_t n) {
+    static const char kw[] = "capsid";
+    if (n < 6) return false;
+    for (size_t i = 0; i + 6 <= n; ++i) {
+        if (std::memcmp(h + i, kw, 6) == 0) return true;
+    }
+    return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse a FASTA buffer into one concatenated code array ("one block" mode,
+// reference: process_file_in_one_block, dnafiles.rs:200-276).
+//
+//   data/len      : decompressed FASTA bytes
+//   out           : caller buffer of capacity out_cap (>= len is always enough)
+//   is_aa         : 0 = DNA (2-bit alphabet), 1 = AA (20 residues)
+//   min_seq_size  : records shorter than this are dropped
+//   out_len       : number of codes written (separators included)
+//   first_id      : first kept record's id token (NUL-terminated, id_cap bytes)
+//   total_bases   : residues encoded, separators excluded
+//
+// Returns number of kept records, or -1 if out_cap is too small.
+long fasta_concat_codes(const uint8_t* data, size_t len,
+                        uint8_t* out, size_t out_cap,
+                        int is_aa, long min_seq_size,
+                        size_t* out_len, char* first_id, size_t id_cap,
+                        size_t* total_bases) {
+    const uint8_t* table = is_aa ? kTables.aa : kTables.dna;
+    size_t w = 0;          // write cursor
+    size_t total = 0;
+    long kept = 0;
+    bool first_done = false;
+    size_t i = 0;
+    // skip pre-header junk
+    while (i < len && data[i] != '>') ++i;
+    while (i < len) {
+        // at '>': parse header line
+        ++i;
+        size_t hstart = i;
+        while (i < len && data[i] != '\n') ++i;
+        size_t hend = i;  // header = [hstart, hend)
+        if (i < len) ++i; // skip newline
+        bool skip = header_has_capsid(data + hstart, hend - hstart);
+        // sequence span: until next '>' at line start or EOF
+        size_t rec_start = w + (kept > 0 ? 1 : 0);  // leave room for separator
+        size_t seq_len = 0;
+        size_t scan = i;
+        // first pass to count; second to write (branch-light single pass
+        // instead: write optimistically, roll back if dropped)
+        size_t wr = rec_start;
+        while (scan < len && data[scan] != '>') {
+            uint8_t c = data[scan++];
+            if (c == '\n' || c == '\r') continue;
+            if (wr >= out_cap) return -1;
+            out[wr++] = table[c];
+            ++seq_len;
+        }
+        i = scan;
+        if (!skip && (long)seq_len >= min_seq_size && seq_len > 0) {
+            if (kept > 0) {
+                out[w] = INVALID;  // record separator = hard k-mer break
+            }
+            w = wr;
+            total += seq_len;
+            ++kept;
+            if (!first_done) {
+                size_t idn = 0;
+                while (hstart + idn < hend && idn + 1 < id_cap) {
+                    uint8_t c = data[hstart + idn];
+                    if (c == ' ' || c == '\t') break;
+                    first_id[idn++] = (char)c;
+                }
+                first_id[idn] = '\0';
+                first_done = true;
+            }
+        }
+        // else: dropped — w unchanged, the optimistic writes are ignored
+    }
+    *out_len = w;
+    *total_bases = total;
+    return kept;
+}
+
+// Per-record mode (reference: process_file_by_sequence, dnafiles.rs:43-107):
+// writes codes back-to-back and fills record offset/length tables.
+// Returns kept record count, or -1 on capacity overflow.
+long fasta_records_codes(const uint8_t* data, size_t len,
+                         uint8_t* out, size_t out_cap,
+                         int is_aa, long min_seq_size,
+                         size_t* offsets, size_t* lengths, long max_records,
+                         char* ids, size_t id_stride, /* ids: max_records * id_stride */
+                         size_t* out_len) {
+    const uint8_t* table = is_aa ? kTables.aa : kTables.dna;
+    size_t w = 0;
+    long kept = 0;
+    size_t i = 0;
+    while (i < len && data[i] != '>') ++i;
+    while (i < len) {
+        ++i;
+        size_t hstart = i;
+        while (i < len && data[i] != '\n') ++i;
+        size_t hend = i;
+        if (i < len) ++i;
+        bool skip = header_has_capsid(data + hstart, hend - hstart);
+        size_t start = w;
+        size_t wr = w;
+        size_t seq_len = 0;
+        size_t scan = i;
+        while (scan < len && data[scan] != '>') {
+            uint8_t c = data[scan++];
+            if (c == '\n' || c == '\r') continue;
+            if (wr >= out_cap) return -1;
+            out[wr++] = table[c];
+            ++seq_len;
+        }
+        i = scan;
+        if (!skip && (long)seq_len >= min_seq_size && seq_len > 0 && kept < max_records) {
+            offsets[kept] = start;
+            lengths[kept] = seq_len;
+            char* idp = ids + kept * id_stride;
+            size_t idn = 0;
+            while (hstart + idn < hend && idn + 1 < id_stride) {
+                uint8_t c = data[hstart + idn];
+                if (c == ' ' || c == '\t') break;
+                idp[idn++] = (char)c;
+            }
+            idp[idn] = '\0';
+            w = wr;
+            ++kept;
+        }
+    }
+    *out_len = w;
+    return kept;
+}
+
+}  // extern "C"

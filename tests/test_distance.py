@@ -1,0 +1,69 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsearch_tpu.ops.distance import (
+    brute_force_knn,
+    hamming_frac_pallas,
+    hamming_frac_xla,
+)
+
+
+def _oracle(q, db):
+    out = np.empty((q.shape[0], db.shape[0]), dtype=np.float32)
+    for i in range(q.shape[0]):
+        for j in range(db.shape[0]):
+            out[i, j] = 1.0 - (q[i] == db[j]).mean()
+    return out
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.uint32, np.uint16])
+def test_xla_matches_oracle(rng, dtype):
+    s = 100
+    if dtype == np.float32:
+        q = rng.integers(0, 8, size=(5, s)).astype(dtype)
+        db = rng.integers(0, 8, size=(17, s)).astype(dtype)
+    else:
+        q = rng.integers(0, 8, size=(5, s)).astype(dtype)
+        db = rng.integers(0, 8, size=(17, s)).astype(dtype)
+    d = np.asarray(hamming_frac_xla(jnp.asarray(q), jnp.asarray(db)))
+    np.testing.assert_allclose(d, _oracle(q, db), atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.uint32, np.uint16])
+def test_pallas_interpret_matches_xla(rng, dtype):
+    """Pallas kernel correctness via interpreter mode.
+
+    (pltpu.force_tpu_interpret_mode hangs under the axon PJRT plugin in
+    this environment; pallas_call(interpret=True) is equivalent for
+    correctness and runs everywhere.)"""
+    s = 300  # not a multiple of the s_chunk: exercises padding
+    q = rng.integers(0, 4, size=(9, s)).astype(dtype)
+    db = rng.integers(0, 4, size=(33, s)).astype(dtype)
+    d_pal = np.asarray(
+        hamming_frac_pallas(
+            jnp.asarray(q), jnp.asarray(db), tq=8, tn=16, sb=128, inner=64, interpret=True
+        )
+    )
+    d_ref = np.asarray(hamming_frac_xla(jnp.asarray(q), jnp.asarray(db)))
+    np.testing.assert_allclose(d_pal, d_ref, atol=1e-6)
+
+
+def test_chunked_xla_large_n(rng):
+    s = 64
+    q = rng.integers(0, 4, size=(3, s)).astype(np.uint32)
+    db = rng.integers(0, 4, size=(5000, s)).astype(np.uint32)
+    d = np.asarray(hamming_frac_xla(jnp.asarray(q), jnp.asarray(db), chunk=1024))
+    d_small = np.asarray(hamming_frac_xla(jnp.asarray(q), jnp.asarray(db), chunk=10_000))
+    np.testing.assert_allclose(d, d_small, atol=1e-6)
+
+
+def test_brute_force_knn(rng):
+    s, n, k = 128, 200, 10
+    db = rng.integers(0, 1 << 30, size=(n, s)).astype(np.uint32)
+    q = db[5:8].copy()  # queries identical to db rows 5,6,7
+    dist, ids = brute_force_knn(jnp.asarray(q), jnp.asarray(db), k, impl="xla")
+    dist, ids = np.asarray(dist), np.asarray(ids)
+    assert ids[0, 0] == 5 and ids[1, 0] == 6 and ids[2, 0] == 7
+    np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-6)
+    assert (np.diff(dist, axis=1) >= -1e-6).all()  # sorted ascending

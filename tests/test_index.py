@@ -1,0 +1,76 @@
+import numpy as np
+import pytest
+
+from gsearch_tpu.index.flat import FlatIndex
+from gsearch_tpu.index.hnsw import HnswIndex
+from gsearch_tpu.index.serialize import dump_index, load_index
+
+
+def _sig_cloud(rng, n, s, n_clusters=8):
+    """Synthetic sketch-like signatures: cluster members share most slots."""
+    centers = rng.integers(0, 1 << 30, size=(n_clusters, s)).astype(np.uint32)
+    sigs = np.empty((n, s), dtype=np.uint32)
+    for i in range(n):
+        c = centers[i % n_clusters].copy()
+        # perturb a random fraction of slots
+        frac = rng.uniform(0.0, 0.5)
+        mask = rng.random(s) < frac
+        c[mask] = rng.integers(0, 1 << 30, size=mask.sum(), dtype=np.uint32)
+        sigs[i] = c
+    return sigs
+
+
+def test_flat_index_roundtrip(rng, tmp_path):
+    sigs = _sig_cloud(rng, 100, 64)
+    idx = FlatIndex(sketch_size=64, sig_dtype=np.uint32)
+    idx.insert(sigs)
+    d, ids = idx.search(sigs[:5], knbn=3)
+    assert (ids[:, 0] == np.arange(5)).all()
+    np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-6)
+
+    dump_index(idx, str(tmp_path))
+    idx2 = load_index(str(tmp_path))
+    assert idx2.nb_points == 100
+    d2, ids2 = idx2.search(sigs[:5], knbn=3)
+    np.testing.assert_array_equal(ids, ids2)
+
+
+def test_hnsw_recall_vs_flat(rng, tmp_path):
+    n, s, k = 3000, 128, 10
+    all_sigs = _sig_cloud(rng, n + 20, s, n_clusters=32)
+    sigs, queries = all_sigs[:n], all_sigs[n:]
+
+    flat = FlatIndex(sketch_size=s, sig_dtype=np.uint32)
+    flat.insert(sigs)
+    _, true_ids = flat.search(queries, knbn=k)
+
+    hnsw = HnswIndex(
+        sketch_size=s, sig_dtype=np.uint32, max_nb_conn=24, ef_construction=96,
+        search_prefix=s,
+    )
+    hnsw.insert(sigs, batch_size=512)
+    _, got_ids = hnsw.search(queries, knbn=k, ef_search=128)
+
+    recall = np.mean([
+        len(set(true_ids[i]) & set(got_ids[i])) / k for i in range(len(queries))
+    ])
+    assert recall >= 0.9, f"recall@{k} = {recall:.3f}"
+
+    # serialization roundtrip preserves results
+    dump_index(hnsw, str(tmp_path))
+    hnsw2 = load_index(str(tmp_path))
+    _, got2 = hnsw2.search(queries, knbn=k, ef_search=128)
+    np.testing.assert_array_equal(got_ids, got2)
+
+
+def test_hnsw_incremental_insert(rng):
+    s = 64
+    sigs = _sig_cloud(rng, 500, s)
+    hnsw = HnswIndex(sketch_size=s, sig_dtype=np.uint32, max_nb_conn=16, ef_construction=64,
+                     search_prefix=s)
+    hnsw.insert(sigs[:300], batch_size=128)
+    hnsw.insert(sigs[300:], batch_size=128)
+    assert hnsw.nb_points == 500
+    # self-queries must find themselves
+    _, ids = hnsw.search(sigs[450:460], knbn=1, ef_search=64)
+    assert (ids[:, 0] == np.arange(450, 460)).all()

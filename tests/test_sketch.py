@@ -1,0 +1,146 @@
+"""Property tests: slot-agreement of sketches ~ exact Jaccard within CLT bounds.
+
+This is the designed-from-scratch test strategy the reference lacks
+(SURVEY.md §4): every sketcher's signature similarity must track the exact
+(canonical k-mer set) Jaccard of two related genomes.
+"""
+
+import numpy as np
+import pytest
+
+from gsearch_tpu.core.params import DataType, SeqSketcherParams, SketchAlgo
+from gsearch_tpu.io.codec import encode_dna
+from gsearch_tpu.models import make_sketcher
+
+from conftest import exact_canonical_kmer_set, exact_jaccard, mutate_dna, random_dna
+
+K = 12
+S = 1024
+GENOME = 20_000
+
+
+def _slot_agreement(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+def _params(algo):
+    return SeqSketcherParams(kmer_size=K, sketch_size=S, algo=algo, data_t=DataType.DNA)
+
+
+@pytest.mark.parametrize(
+    "algo", [SketchAlgo.OPTDENS, SketchAlgo.REVOPTDENS, SketchAlgo.SUPER, SketchAlgo.SUPER2]
+)
+def test_unweighted_sketch_tracks_jaccard(rng, algo):
+    seq_a = random_dna(rng, GENOME)
+    sk = make_sketcher(_params(algo))
+    for rate in (0.002, 0.01, 0.05):
+        seq_b = mutate_dna(rng, seq_a, rate)
+        ka = exact_canonical_kmer_set(seq_a, K)
+        kb = exact_canonical_kmer_set(seq_b, K)
+        j_exact = exact_jaccard(ka, kb)
+        sig_a = sk.sketch_codes(encode_dna(seq_a))
+        sig_b = sk.sketch_codes(encode_dna(seq_b))
+        j_est = _slot_agreement(sig_a, sig_b)
+        tol = 4.5 * np.sqrt(j_exact * (1 - j_exact) / S) + 0.02
+        assert abs(j_est - j_exact) < tol, f"{algo}: rate={rate} exact={j_exact:.4f} est={j_est:.4f}"
+
+
+def test_identical_genomes_distance_zero(rng):
+    seq = random_dna(rng, GENOME)
+    for algo in SketchAlgo:
+        sk = make_sketcher(_params(algo))
+        sig1 = sk.sketch_codes(encode_dna(seq))
+        sig2 = sk.sketch_codes(encode_dna(seq))
+        assert (sig1 == sig2).all(), f"{algo} not deterministic"
+
+
+def test_revcomp_invariance(rng):
+    """A genome and its reverse complement must sketch identically."""
+    seq = random_dna(rng, GENOME)
+    rc = seq.translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+    for algo in (SketchAlgo.OPTDENS, SketchAlgo.PROB3A):
+        sk = make_sketcher(_params(algo))
+        sig1 = sk.sketch_codes(encode_dna(seq))
+        sig2 = sk.sketch_codes(encode_dna(rc))
+        np.testing.assert_array_equal(sig1, sig2, err_msg=str(algo))
+
+
+def test_unrelated_genomes_low_agreement(rng):
+    seq_a = random_dna(rng, GENOME)
+    seq_b = random_dna(rng, GENOME)
+    for algo in (SketchAlgo.OPTDENS, SketchAlgo.SUPER, SketchAlgo.PROB3A, SketchAlgo.HLL):
+        sk = make_sketcher(_params(algo))
+        sig_a = sk.sketch_codes(encode_dna(seq_a))
+        sig_b = sk.sketch_codes(encode_dna(seq_b))
+        assert _slot_agreement(sig_a, sig_b) < 0.05, str(algo)
+
+
+def test_probminhash_weighted(rng):
+    """PROB3A estimates probability-Jaccard J_P of the k-mer spectra."""
+    seq_a = random_dna(rng, GENOME)
+    seq_b = mutate_dna(rng, seq_a, 0.01)
+    # exact J_P over canonical k-mer multiplicity spectra
+    from collections import Counter
+
+    def spectrum(seq):
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        s = seq.decode()
+        c = Counter()
+        for i in range(len(s) - K + 1):
+            km = s[i : i + K]
+            rc = "".join(comp[ch] for ch in reversed(km))
+            c[min(km, rc)] += 1
+        return c
+
+    ca, cb = spectrum(seq_a), spectrum(seq_b)
+    keys = sorted(set(ca) | set(cb))
+    wa = np.array([ca[x] for x in keys], dtype=np.float64)
+    wb = np.array([cb[x] for x in keys], dtype=np.float64)
+    # J_P = sum_x 1 / sum_y max(wy_A/wx_A, wy_B/wx_B), terms with wx_A*wx_B=0
+    # contribute 0.  denom_x depends only on the pair (wx_A, wx_B), so group.
+    both = (wa > 0) & (wb > 0)
+    pairs, counts = np.unique(np.stack([wa[both], wb[both]], 1), axis=0, return_counts=True)
+    jp = 0.0
+    for (c_a, c_b), cnt in zip(pairs, counts):
+        denom = np.maximum(wa * c_b, wb * c_a).sum() / (c_a * c_b)
+        jp += cnt / denom
+    sk = make_sketcher(_params(SketchAlgo.PROB3A))
+    sig_a = sk.sketch_codes(encode_dna(seq_a))
+    sig_b = sk.sketch_codes(encode_dna(seq_b))
+    j_est = _slot_agreement(sig_a, sig_b)
+    tol = 4.5 * np.sqrt(max(jp * (1 - jp), 0.01) / S) + 0.02
+    assert abs(j_est - jp) < tol, f"exact J_P={jp:.4f} est={j_est:.4f}"
+
+
+def test_hll_tracks_jaccard_coarsely(rng):
+    seq_a = random_dna(rng, GENOME)
+    seq_b = mutate_dna(rng, seq_a, 0.01)
+    ka = exact_canonical_kmer_set(seq_a, K)
+    kb = exact_canonical_kmer_set(seq_b, K)
+    j_exact = exact_jaccard(ka, kb)
+    sk = make_sketcher(_params(SketchAlgo.HLL))
+    sig_a = sk.sketch_codes(encode_dna(seq_a))
+    sig_b = sk.sketch_codes(encode_dna(seq_b))
+    assert sig_a.dtype == np.uint16
+    j_est = _slot_agreement(sig_a, sig_b)
+    # same-size genomes: register equality ~ race-winner equality ~ Jaccard
+    tol = 4.5 * np.sqrt(j_exact * (1 - j_exact) / S) + 0.03
+    assert abs(j_est - j_exact) < tol, f"exact={j_exact:.4f} est={j_est:.4f}"
+
+
+def test_streaming_long_genome_matches_whole(rng):
+    """A genome crossing the max block size must sketch identically when
+    streamed (combine_race path) — use a small block via monkeypatching."""
+    import gsearch_tpu.models.base as base
+
+    seq = random_dna(rng, 40_000)
+    sk = make_sketcher(_params(SketchAlgo.OPTDENS))
+    sig_whole = sk.sketch_codes(encode_dna(seq))
+    old = base._MAX_BLOCK_LOG2
+    try:
+        base._MAX_BLOCK_LOG2 = 14  # 16384 < 40k forces streaming
+        sk2 = make_sketcher(_params(SketchAlgo.OPTDENS))
+        sig_stream = sk2.sketch_codes(encode_dna(seq))
+    finally:
+        base._MAX_BLOCK_LOG2 = old
+    np.testing.assert_array_equal(sig_whole, sig_stream)
