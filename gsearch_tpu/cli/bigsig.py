@@ -97,7 +97,9 @@ def main(argv=None) -> int:
     c = sub.add_parser("construct")
     c.add_argument("-r", "--refs", required=True, help="directory of reference FASTA")
     c.add_argument("-b", "--bigsi", required=True, help="output index prefix")
-    c.add_argument("--bloom", type=int, default=250_000, help="bloom filter length")
+    c.add_argument("--bloom", type=int, default=25_000_000,
+                   help="bloom filter length; use >= ~4x the largest genome's "
+                        "distinct k-mer count to keep fill (and FP correction) low")
     c.add_argument("--hashes", type=int, default=2, help="hash functions")
     c.add_argument("-k", "--kmer", type=int, default=21)
     c.add_argument("-m", "--minimizer", type=int, default=0, help="minimizer window (0=off)")

@@ -79,9 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
     # here and as python -m gsearch_tpu.cli.<tool>
     sub.add_parser("bindash", add_help=False)
     sub.add_parser("hypermash", add_help=False)
+    sub.add_parser("superani", add_help=False)
     sub.add_parser("superaai", add_help=False)
     sub.add_parser("hnsw2knn", add_help=False)
     sub.add_parser("hnswcore", add_help=False)
+    sub.add_parser("bigsig", add_help=False)
+    sub.add_parser("genepred", add_help=False)
 
     return ap
 
@@ -98,9 +101,12 @@ def main(argv=None) -> int:
     tools = {
         "bindash": "gsearch_tpu.cli.bindash",
         "hypermash": "gsearch_tpu.cli.hypermash",
+        "superani": "gsearch_tpu.cli.superani",
         "superaai": "gsearch_tpu.cli.superaai",
         "hnsw2knn": "gsearch_tpu.cli.hnsw2knn",
         "hnswcore": "gsearch_tpu.cli.hnswcore",
+        "bigsig": "gsearch_tpu.cli.bigsig",
+        "genepred": "gsearch_tpu.cli.genepred",
     }
     if argv and argv[0] in tools:
         import importlib

@@ -127,6 +127,15 @@ class BigsiIndex:
 
         def run_bits(codes: jnp.ndarray):  # [batch, read_len]
             hi, lo, valid = canonical_dna_windows(codes, self.kmer_size)
+            if self.minimizer_window > 1:
+                # thin query k-mers exactly like the index build
+                w = self.minimizer_window
+                hmin = mix2(hi, lo, self.seed ^ 0x3141)
+                hmin = jnp.where(valid, hmin, jnp.uint32(0xFFFFFFFF))
+                wmin = jax.lax.reduce_window(
+                    hmin, jnp.uint32(0xFFFFFFFF), jax.lax.min, (1, w), (1, 1), "SAME"
+                )
+                valid = valid & (hmin == wmin)
             agg = None
             for j in range(self.nb_hashes):
                 p = mix2(hi, lo, self.seed ^ _POS_SEED ^ (j * 0x9E3779B9)) % jnp.uint32(

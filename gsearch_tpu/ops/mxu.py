@@ -1,0 +1,128 @@
+"""MXU-based sketch search: slot equality as an int8 matmul.
+
+The exact equal-count distance (ops/distance.py) is VPU-bound: Q*N*S
+compares.  The MXU cannot compare, but it can do something statistically
+equivalent: expand every slot value into m sign bits of a *hash* of the
+value.  For two genomes' slots:
+
+    equal slot   -> all m sign bits agree        -> contributes +m
+    unequal slot -> hash bits are iid fair coins -> contributes 0 on average
+
+so  E[ q_exp . d_exp ] = m * S * J  with per-pair noise sd ~ sqrt(mS)/2 —
+an unbiased Jaccard estimator whose precision grows with m, computed as a
+[Q, mS] x [mS, N] int8 matmul at MXU rate (hundreds of TOPS) instead of a
+VPU compare sweep.  Hashing the value first makes the coin-flip property
+hold for ANY signature dtype (f32 hash values, u32 fingerprints, u16
+SetSketch registers whose neighboring levels differ in one low bit).
+
+Search = matmul scores -> top-C candidates -> exact equal-count rerank on
+the gathered candidate rows -> top-k.  With C a few times k the end-to-end
+ranking matches the exact kernel with probability -> 1 (validated in
+tests/test_mxu.py); rerank distances are bit-exact.
+
+Reference role: this replaces hnsw_rs::parallel_search as the throughput
+path (reference: src/dna/dnarequest.rs:353) — the graph index (hnsw.py)
+remains for corpora too large for a full sweep.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hash import mix32
+
+_EXPAND_SEED = 0x51614B17
+
+
+def _as_u32(sigs: jnp.ndarray) -> jnp.ndarray:
+    if sigs.dtype == jnp.float32:
+        return sigs.view(jnp.uint32)
+    if sigs.dtype != jnp.uint32:
+        return sigs.astype(jnp.uint32)
+    return sigs
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def expand_signs(sigs: jnp.ndarray, m: int = 4) -> jnp.ndarray:
+    """[N, S] any-dtype signatures -> [N, m*S] int8 in {-1, +1}."""
+    h = mix32(_as_u32(sigs), _EXPAND_SEED)
+    shifts = jnp.arange(m, dtype=jnp.uint32)
+    bits = (h[..., None] >> shifts) & jnp.uint32(1)  # [N, S, m]
+    signs = (bits.astype(jnp.int8) << 1) - jnp.int8(1)
+    return signs.reshape(sigs.shape[0], sigs.shape[1] * m)
+
+
+def expand_signs_chunked(sigs: np.ndarray, m: int = 4, chunk: int = 8192) -> jax.Array:
+    """Host->device expansion in row chunks to bound peak memory."""
+    outs = []
+    for start in range(0, sigs.shape[0], chunk):
+        outs.append(expand_signs(jnp.asarray(sigs[start : start + chunk]), m=m))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+@functools.partial(jax.jit, static_argnames=("nb_cand",))
+def _mxu_candidates(q_exp: jnp.ndarray, db_exp: jnp.ndarray, nb_cand: int):
+    scores = jax.lax.dot_general(
+        q_exp,
+        db_exp,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [Q, N]
+    _, cand = jax.lax.top_k(scores, nb_cand)
+    return cand
+
+
+@functools.partial(jax.jit, static_argnames=("knbn", "s_true"))
+def _rerank(q_sigs: jnp.ndarray, db_sigs: jnp.ndarray, cand: jnp.ndarray,
+            n_valid: jnp.ndarray, knbn: int, s_true: int):
+    """Exact equal-count distances on the candidate rows, then top-k."""
+    qs = _as_u32(q_sigs)
+    ds = _as_u32(db_sigs)
+    rows = jnp.take(ds, cand, axis=0)  # [Q, C, S]
+    eq = (rows == qs[:, None, :]).sum(axis=-1).astype(jnp.float32)
+    d = 1.0 - eq / jnp.float32(s_true)
+    d = jnp.where(cand < n_valid, d, jnp.inf)
+    neg, sel = jax.lax.top_k(-d, knbn)
+    return -neg, jnp.take_along_axis(cand, sel, axis=1)
+
+
+class MxuSearcher:
+    """Holds the expanded database on device; searches in two stages."""
+
+    def __init__(self, sigs: np.ndarray, m: int = 4, rerank_factor: int = 8):
+        self.m = m
+        self.s = sigs.shape[1]
+        self.n = sigs.shape[0]
+        self.rerank_factor = rerank_factor
+        # pad N so every database size in a power-of-two bucket shares one
+        # compiled program (remote compiles are expensive here)
+        nb = 16
+        while nb < self.n:
+            nb <<= 1
+        pad = nb - self.n
+        if pad:
+            sigs = np.concatenate([sigs, np.zeros((pad,) + sigs.shape[1:], sigs.dtype)], 0)
+        self._sigs_dev = jnp.asarray(sigs)
+        self._db_exp = expand_signs_chunked(sigs, m=m)
+
+    def search(self, queries: np.ndarray, knbn: int) -> Tuple[np.ndarray, np.ndarray]:
+        nq = queries.shape[0]
+        qb = 8
+        while qb < nq:
+            qb <<= 1
+        if qb != nq:
+            queries = np.concatenate(
+                [queries, np.zeros((qb - nq,) + queries.shape[1:], queries.dtype)], 0
+            )
+        q_dev = jnp.asarray(queries)
+        q_exp = expand_signs(q_dev, m=self.m)
+        knbn = min(knbn, self.n)
+        nb_cand = min(max(self.rerank_factor * knbn, 64), self._sigs_dev.shape[0])
+        cand = _mxu_candidates(q_exp, self._db_exp, nb_cand)
+        d, ids = _rerank(q_dev, self._sigs_dev, cand, jnp.int32(self.n), knbn, self.s)
+        return np.asarray(d)[:nq], np.asarray(ids)[:nq]
