@@ -95,6 +95,21 @@ class SketcherBase:
 
         return jax.jit(run)
 
+    @functools.lru_cache(maxsize=None)
+    def _batch_fn(self, b: int, nb: int):
+        """Sketch a whole [b, nb] batch of same-bucket genomes in ONE
+        dispatch — the device analog of the reference's sketcher thread
+        pool (dnasketch.rs:300-325): dispatch latency and sort fixed costs
+        amortize over the batch."""
+
+        def run(codes: jnp.ndarray) -> jnp.ndarray:
+            hi, lo, valid = self._windows(codes)
+            slots, keys, payload, dvalid = self._darts(hi, lo, valid)
+            race = bucket_min(slots, keys, self.nb_slots, payload=payload, valid=dvalid)
+            return self._finalize_race(race)
+
+        return jax.jit(run)
+
     @functools.cached_property
     def _combine_fn(self):
         return jax.jit(combine_race)
@@ -131,11 +146,38 @@ class SketcherBase:
             codes = np.pad(codes, (0, nb - len(codes)), constant_values=255)
         return self._block_fn(nb)(jnp.asarray(codes))
 
+    # total elements per batched dispatch: bounds sort memory and keeps one
+    # compiled (batch, block) shape per block bucket
+    _BATCH_ELEMS_LOG2 = 23
+
     def sketch_many(self, codes_list: Sequence[np.ndarray]) -> np.ndarray:
-        """Signatures for a list of genomes, stacked [B, nb_slots]."""
+        """Signatures for a list of genomes, stacked [B, nb_slots].
+
+        Genomes are grouped by block bucket and sketched in batched device
+        dispatches; only genomes longer than the largest block fall back to
+        the streaming per-genome path."""
         out = np.empty((len(codes_list), self.nb_slots), dtype=self.SIG_DTYPE)
+        max_block = 1 << _MAX_BLOCK_LOG2
+        groups: dict = {}
         for i, codes in enumerate(codes_list):
-            out[i] = self.sketch_codes(codes)
+            if len(codes) > max_block:
+                out[i] = self.sketch_codes(codes)
+            else:
+                groups.setdefault(block_length(len(codes)), []).append(i)
+        for nb, idxs in groups.items():
+            bcap = max(1, (1 << self._BATCH_ELEMS_LOG2) // nb)
+            for start in range(0, len(idxs), bcap):
+                chunk = idxs[start : start + bcap]
+                b = 1
+                while b < len(chunk):
+                    b <<= 1
+                b = min(b, bcap)
+                arr = np.full((b, nb), 255, dtype=np.uint8)
+                for row, i in enumerate(chunk):
+                    arr[row, : len(codes_list[i])] = codes_list[i]
+                sigs = np.asarray(self._batch_fn(b, nb)(jnp.asarray(arr)))
+                for row, i in enumerate(chunk):
+                    out[i] = sigs[row]
         return out
 
 

@@ -230,8 +230,12 @@ def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene
     l = len(codes)
     if l < p.min_gene_len:
         return []
-    pad = (-l) % 128
-    codes_j = jnp.asarray(np.pad(codes, (0, pad), constant_values=255))[None, :]
+    # pad to power-of-two-ish buckets so contigs of any length reuse a
+    # handful of compiled Viterbi programs
+    target = 1 << 12
+    while target < l:
+        target <<= 1
+    codes_j = jnp.asarray(np.pad(codes, (0, target - l), constant_values=255))[None, :]
     e, sb, pb, rbb, reb = _precompute_scores(codes_j, p)
     path = np.asarray(
         _viterbi(codes_j, e, sb, pb, rbb, reb, p.p_gene_start, p.min_gene_len)

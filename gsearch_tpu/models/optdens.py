@@ -40,7 +40,8 @@ class OptDensSketcher(SketcherBase):
         return slots, keys, None, valid
 
     def _densify(self, race: RaceResult):
-        """Fill empty slots by probing originally-occupied ones."""
+        """Fill empty slots by probing originally-occupied ones
+        (batch-agnostic along the last axis)."""
         s = self.nb_slots
         idx = jnp.arange(s, dtype=jnp.uint32)
         key = jnp.where(race.found, race.key, jnp.uint32(0))
@@ -48,9 +49,9 @@ class OptDensSketcher(SketcherBase):
         still_empty = ~race.found
         for r in range(_DENS_ROUNDS):
             tgt = (mix32(idx, self.seed ^ self._DENS_FAMILY ^ (r * 0x9E37)) % jnp.uint32(s)).astype(jnp.int32)
-            tgt_found = race.found[tgt]
+            tgt_found = jnp.take(race.found, tgt, axis=-1)
             take = still_empty & tgt_found
-            out_key = jnp.where(take, key[tgt], out_key)
+            out_key = jnp.where(take, jnp.take(key, tgt, axis=-1), out_key)
             still_empty = still_empty & ~tgt_found
         # pathological case (near-empty sketch): deterministic filler so two
         # equally-empty genomes do not spuriously match

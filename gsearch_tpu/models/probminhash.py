@@ -11,20 +11,22 @@ J_P, the probability Jaccard of their weighted k-mer spectra.
 TPU formulation (the CPU algorithm's hash-table of counts + per-element
 heap does not map to a vector unit):
 
- 1. One batched sort of the k-mer stream groups equal k-mers; the
-    occurrence rank of each position inside its run falls out of a single
-    cumulative max — no hash table, no counting pass.
- 2. An element with multiplicity m is the superposition of m unit-rate
-    arrival processes; occurrence o (= rank) carries process (x, o).  Two
-    genomes with multiplicities mA < mB share exactly the first mA
-    processes — precisely the coupling that makes the race estimate J_P.
-    The per-genome normalization by total weight W is a uniform time scale
-    and cannot change any argmin, so it is dropped entirely.
- 3. Each occurrence emits C=2 arrivals of its Poisson process
-    (times Gamma_j = e_0 + ... + e_j of Exp(1) increments, slots uniform),
-    and everything funnels into the same `bucket_min` race as every other
-    sketcher.  Truncation error is O((S/W)^3) per occurrence — far below
-    the sketch's own sampling noise for any real genome.
+ 1. One batched sort of the k-mer stream groups equal k-mers; each run's
+    start position and length (= multiplicity m_x) fall out of two
+    cumulative scans — no hash table.
+ 2. Element x runs a Poisson arrival process whose randomness is seeded by
+    x ALONE and whose times are deterministically scaled by 1/m_x:
+    t_j(x) = Gamma_j(x) / m_x with Gamma_j a cumsum of Exp(1) draws.  Two
+    genomes share the Gammas and differ only in the deterministic scale —
+    exactly Ertl's coupling, so P(slot winners agree) is the probability
+    Jaccard J_P.  (Superposing m independent unit processes instead would
+    estimate the multiset Jaccard sum-min/sum-max — close, but not the
+    reference's estimator.)  The per-genome normalization by total weight
+    W is a uniform time scale and cannot change any argmin, so it drops.
+ 3. Each distinct element emits C=3 arrivals (slots uniform per arrival),
+    all funneling into the same `bucket_min` race as every other sketcher.
+    Truncation bias requires an element's 4th arrival to have won a slot —
+    negligible unless a single k-mer dominates the genome's spectrum.
 
 The signature is a 32-bit fingerprint of the winning element (the reference
 stores the u32/u64 winning k-mer value; 32 bits keep slot-collision
@@ -45,7 +47,7 @@ _RANK_SEED = 0xA11CE5
 _SLOT_SEED = 0xB0B5EED
 _PAY_SEED = 0xCAFEF00D
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
-_ARRIVALS = 2
+_ARRIVALS = 3
 
 
 class ProbMinHashSketcher(SketcherBase):
@@ -60,25 +62,38 @@ class ProbMinHashSketcher(SketcherBase):
         s_hi, s_lo = jax.lax.sort((khi, klo), dimension=-1, num_keys=2)
         s_valid = ~((s_hi == _SENTINEL) & (s_lo == _SENTINEL))
 
-        # 2. occurrence rank within each equal-k-mer run via cummax
+        # 2. run starts + multiplicities via forward cummax / reverse cummin
+        # (batch-agnostic: operates along the last axis)
         n = s_hi.shape[-1]
-        iota = jnp.arange(n, dtype=jnp.int32)
-        prev_hi = jnp.concatenate([_SENTINEL[None], s_hi[:-1]])
-        prev_lo = jnp.concatenate([_SENTINEL[None], s_lo[:-1]])
+        last = s_hi.ndim - 1
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), s_hi.shape)
+        pad = [(0, 0)] * (s_hi.ndim - 1) + [(1, 0)]
+        sent = np.uint32(0xFFFFFFFF)
+        prev_hi = jnp.pad(s_hi, pad, constant_values=sent)[..., :-1]
+        prev_lo = jnp.pad(s_lo, pad, constant_values=sent)[..., :-1]
         is_start = (s_hi != prev_hi) | (s_lo != prev_lo)
-        run_start = jax.lax.cummax(jnp.where(is_start, iota, 0), axis=0)
-        rank = (iota - run_start).astype(jnp.uint32)
+        run_start = jax.lax.cummax(jnp.where(is_start, iota, 0), axis=last)
+        is_rep = iota == run_start  # one representative dart source per run
+        # next run's start index (n past the end) -> multiplicity
+        next_start = jax.lax.cummin(
+            jnp.where(is_start, iota, n), axis=last, reverse=True
+        )
+        pad_r = [(0, 0)] * (s_hi.ndim - 1) + [(0, 1)]
+        next_start = jnp.pad(next_start, pad_r, constant_values=n)[..., 1:]
+        mult = (next_start - run_start).astype(jnp.float32)
+        inv_m = jnp.where(mult > 0, 1.0 / mult, 1.0)
 
-        # 3. C arrivals per occurrence process (x, rank)
+        # 3. C arrivals per distinct element, times scaled by 1/m_x
         slots_l, keys_l, valid_l = [], [], []
         t = jnp.zeros(s_hi.shape, dtype=jnp.float32)
+        rep_valid = s_valid & is_rep
         for j in range(self.arrivals):
-            sub_seed = mix32(rank * jnp.uint32(self.arrivals) + jnp.uint32(j), self.seed ^ _RANK_SEED)
+            sub_seed = jnp.uint32((self.seed ^ _RANK_SEED ^ (j * 0x9E3779B9)) & 0xFFFFFFFF)
             t = t + exp_from_bits(mix2(s_hi, s_lo, sub_seed))
             slot = mix2(s_hi, s_lo, sub_seed ^ jnp.uint32(_SLOT_SEED)) % jnp.uint32(self.nb_slots)
             slots_l.append(slot.astype(jnp.int32))
-            keys_l.append(t.view(jnp.uint32))  # positive f32 bits sort correctly
-            valid_l.append(s_valid)
+            keys_l.append((t * inv_m).view(jnp.uint32))  # positive f32 bits sort correctly
+            valid_l.append(rep_valid)
         payload = mix2(s_hi, s_lo, self.seed ^ _PAY_SEED)
 
         slots = jnp.concatenate(slots_l, axis=-1)

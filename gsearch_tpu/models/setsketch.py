@@ -43,8 +43,8 @@ class SetSketchSketcher(SketcherBase):
         slots_l, keys_l, valid_l = [], [], []
         t = jnp.zeros(hi.shape, dtype=jnp.float32)
         for j in range(self.arrivals):
-            t = t + exp_from_bits(mix2(hi, lo, self.seed ^ _TIME_SEED ^ (j * 0x9E3779B9)))
-            slot = mix2(hi, lo, self.seed ^ _SLOT_SEED ^ (j * 0x85EBCA6B)) % jnp.uint32(self.nb_slots)
+            t = t + exp_from_bits(mix2(hi, lo, (self.seed ^ _TIME_SEED ^ (j * 0x9E3779B9)) & 0xFFFFFFFF))
+            slot = mix2(hi, lo, (self.seed ^ _SLOT_SEED ^ (j * 0x85EBCA6B)) & 0xFFFFFFFF) % jnp.uint32(self.nb_slots)
             slots_l.append(slot.astype(jnp.int32))
             keys_l.append(t.view(jnp.uint32))
             valid_l.append(valid)

@@ -50,8 +50,8 @@ class SuperMinHashSketcher(SketcherBase):
     def _darts(self, hi, lo, valid):
         slots_l, keys_l, valid_l = [], [], []
         for j in range(self.arrivals):
-            h_slot = mix2(hi, lo, self.seed ^ _SLOT_SEED ^ (j * 0x9E3779B9))
-            h_val = mix2(hi, lo, self.seed ^ _VAL_SEED ^ (j * 0x85EBCA6B))
+            h_slot = mix2(hi, lo, (self.seed ^ _SLOT_SEED ^ (j * 0x9E3779B9)) & 0xFFFFFFFF)
+            h_val = mix2(hi, lo, (self.seed ^ _VAL_SEED ^ (j * 0x85EBCA6B)) & 0xFFFFFFFF)
             slots_l.append((h_slot % jnp.uint32(self.nb_slots)).astype(jnp.int32))
             keys_l.append((jnp.uint32(j) << 24) | (h_val >> 8))
             valid_l.append(valid)

@@ -91,6 +91,17 @@ def _rerank(q_sigs: jnp.ndarray, db_sigs: jnp.ndarray, cand: jnp.ndarray,
     return -neg, jnp.take_along_axis(cand, sel, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("m", "nb_cand", "knbn", "s_true"))
+def _search_fused(q_sigs, db_exp, db_sigs, n_valid, *, m, nb_cand, knbn, s_true):
+    """One-dispatch search: expand + matmul candidates + exact rerank.
+
+    A single jit keeps the whole pipeline on device per call — in
+    relay/remote setups each extra dispatch costs a network round trip."""
+    q_exp = expand_signs(q_sigs, m=m)
+    cand = _mxu_candidates(q_exp, db_exp, nb_cand)
+    return _rerank(q_sigs, db_sigs, cand, n_valid, knbn, s_true)
+
+
 class MxuSearcher:
     """Holds the expanded database on device; searches in two stages."""
 
@@ -110,19 +121,37 @@ class MxuSearcher:
         self._sigs_dev = jnp.asarray(sigs)
         self._db_exp = expand_signs_chunked(sigs, m=m)
 
-    def search(self, queries: np.ndarray, knbn: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, queries, knbn: int) -> Tuple[np.ndarray, np.ndarray]:
+        """queries: [Q, S] numpy OR device array (jax.Array) — serving paths
+        keep freshly-sketched queries on device and skip the host hop."""
         nq = queries.shape[0]
         qb = 8
         while qb < nq:
             qb <<= 1
         if qb != nq:
-            queries = np.concatenate(
-                [queries, np.zeros((qb - nq,) + queries.shape[1:], queries.dtype)], 0
-            )
+            pad = qb - nq
+            if isinstance(queries, np.ndarray):
+                queries = np.concatenate(
+                    [queries, np.zeros((pad,) + queries.shape[1:], queries.dtype)], 0
+                )
+            else:
+                queries = jnp.concatenate(
+                    [queries, jnp.zeros((pad,) + queries.shape[1:], queries.dtype)], 0
+                )
         q_dev = jnp.asarray(queries)
-        q_exp = expand_signs(q_dev, m=self.m)
         knbn = min(knbn, self.n)
         nb_cand = min(max(self.rerank_factor * knbn, 64), self._sigs_dev.shape[0])
-        cand = _mxu_candidates(q_exp, self._db_exp, nb_cand)
-        d, ids = _rerank(q_dev, self._sigs_dev, cand, jnp.int32(self.n), knbn, self.s)
+        d, ids = _search_fused(
+            q_dev, self._db_exp, self._sigs_dev, jnp.int32(self.n),
+            m=self.m, nb_cand=nb_cand, knbn=knbn, s_true=self.s,
+        )
         return np.asarray(d)[:nq], np.asarray(ids)[:nq]
+
+    def search_device(self, q_dev: jax.Array, knbn: int):
+        """Fully device-resident variant: returns device arrays (no fetch)."""
+        knbn = min(knbn, self.n)
+        nb_cand = min(max(self.rerank_factor * knbn, 64), self._sigs_dev.shape[0])
+        return _search_fused(
+            q_dev, self._db_exp, self._sigs_dev, jnp.int32(self.n),
+            m=self.m, nb_cand=nb_cand, knbn=knbn, s_true=self.s,
+        )

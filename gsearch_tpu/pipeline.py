@@ -65,6 +65,22 @@ def _sketch_dir(
     sigs: List[np.ndarray] = []
     nb_seq = 0
     t_report = time.time()
+    # buffer parsed genomes and sketch them in batched device dispatches
+    # (the analog of the reference's 100-Mbase sketcher batches,
+    # dnasketch.rs:246-325)
+    buf_codes: List[np.ndarray] = []
+    buf_bases = 0
+
+    def flush():
+        nonlocal buf_codes, buf_bases
+        if not buf_codes:
+            return
+        with timer.stage("sketch"):
+            batch = sketcher.sketch_many(buf_codes)
+        sigs.extend(batch)
+        buf_codes = []
+        buf_bases = 0
+
     for filerank, path, data in iter_file_buffers(paths, computing.nb_files_par):
         with timer.stage("parse"):
             if params.block_flag:
@@ -78,13 +94,16 @@ def _sketch_dir(
                     for codes, fid in file_records_codes(path, is_aa=is_aa, data=data)
                 ]
         for codes, fasta_id, length in units:
-            with timer.stage("sketch"):
-                sigs.append(sketcher.sketch_codes(codes))
+            buf_codes.append(codes)
+            buf_bases += len(codes)
             seqdict.push(ItemDict(id=Id(path=path, fasta_id=fasta_id), len=length))
             nb_seq += 1
+            if buf_bases >= (1 << 26) or len(buf_codes) >= 2048:
+                flush()
         if time.time() - t_report > 30:
             log.info("processed %d/%d files, %d sequences", filerank + 1, len(paths), nb_seq)
             t_report = time.time()
+    flush()
     return sigs
 
 

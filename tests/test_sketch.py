@@ -112,6 +112,18 @@ def test_probminhash_weighted(rng):
     assert abs(j_est - jp) < tol, f"exact J_P={jp:.4f} est={j_est:.4f}"
 
 
+def test_probminhash_scale_invariance(rng):
+    """J_P(A+A, A) = 1: doubling every multiplicity must not change the
+    sketch (probability-Jaccard normalization, unlike multiset Jaccard)."""
+    seq = random_dna(rng, 10_000)
+    doubled = seq + b"N" + seq  # separator keeps junction k-mers out
+    sk = make_sketcher(_params(SketchAlgo.PROB3A))
+    sig_a = sk.sketch_codes(encode_dna(seq))
+    sig_aa = sk.sketch_codes(encode_dna(doubled))
+    agreement = _slot_agreement(sig_a, sig_aa)
+    assert agreement > 0.995, f"agreement {agreement}"
+
+
 def test_hll_tracks_jaccard_coarsely(rng):
     seq_a = random_dna(rng, GENOME)
     seq_b = mutate_dna(rng, seq_a, 0.01)
