@@ -76,6 +76,24 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # secondary (stderr only): recall@10 of the MXU path vs the exact
+    # equal-count oracle on a query subsample
+    try:
+        from gsearch_tpu.ops.distance import bucketed_knn
+
+        q_sub = q[:128]
+        d_ex, ids_ex = bucketed_knn(q_sub, db, KNBN)
+        d_mx, ids_mx = searcher.search(q_sub, knbn=KNBN)
+        recall = float(
+            np.mean([
+                len(set(ids_ex[i].tolist()) & set(ids_mx[i].tolist())) / KNBN
+                for i in range(len(q_sub))
+            ])
+        )
+        print(f"[bench] recall@{KNBN} (MXU vs exact oracle): {recall:.4f}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] recall check failed: {e}", file=sys.stderr)
+
     # secondary (stderr only): sketch throughput of the build path —
     # batched optdens over synthetic 1 Mb genomes
     try:

@@ -12,7 +12,7 @@ import argparse
 import os
 import sys
 
-import numpy as np
+
 
 
 def run_hypermash(

@@ -24,14 +24,14 @@ from __future__ import annotations
 
 import functools
 import json
-import os
+
 from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.hash import mix2, mix32
+from ..ops.hash import mix2
 from ..ops.kmer import canonical_dna_windows
 from ..utils import get_logger
 

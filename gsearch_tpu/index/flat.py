@@ -15,11 +15,11 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.distance import hamming_frac
+
 from ..utils import get_logger
 
 log = get_logger(__name__)

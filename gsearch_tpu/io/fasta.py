@@ -31,7 +31,7 @@ import dataclasses
 import gzip
 import io
 import lzma
-import os
+
 from typing import Callable, Iterator, List, Tuple
 
 import numpy as np

@@ -26,8 +26,8 @@ Everything is shard_map + XLA collectives; no NCCL/MPI translation.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
+
+
 
 import jax
 import jax.numpy as jnp
