@@ -30,7 +30,7 @@ import numpy as np
 
 from ..core.params import DataType, SeqSketcherParams, SketchAlgo
 from ..ops.kmer import AA_BITS, canonical_dna_windows, kmer_windows
-from ..ops.race import RaceResult, bucket_min, combine_race, empty_race
+from ..ops.race import RaceResult, bucket_min, bucket_min_packed, combine_race, empty_race
 from ..utils import get_logger
 
 log = get_logger(__name__)
@@ -56,6 +56,9 @@ class SketcherBase:
     """Shared machinery; subclasses define the dart generation + finalize."""
 
     SIG_DTYPE = np.float32
+    # payload-free algorithms can use the packed single-key race (~2x the
+    # sort throughput; see ops/race.py bucket_min_packed)
+    USE_PACKED_RACE = False
 
     def __init__(self, params: SeqSketcherParams, seed: int = 0x5EED):
         self.params = params
@@ -86,12 +89,17 @@ class SketcherBase:
             return kmer_windows(codes, self.k, AA_BITS)
         return canonical_dna_windows(codes, self.k)
 
+    def _race(self, slots, keys, payload, dvalid) -> RaceResult:
+        if self.USE_PACKED_RACE and payload is None:
+            return bucket_min_packed(slots, keys, self.nb_slots, valid=dvalid)
+        return bucket_min(slots, keys, self.nb_slots, payload=payload, valid=dvalid)
+
     @functools.lru_cache(maxsize=None)
     def _block_fn(self, nb: int):
         def run(codes: jnp.ndarray) -> RaceResult:
             hi, lo, valid = self._windows(codes)
             slots, keys, payload, dvalid = self._darts(hi, lo, valid)
-            return bucket_min(slots, keys, self.nb_slots, payload=payload, valid=dvalid)
+            return self._race(slots, keys, payload, dvalid)
 
         return jax.jit(run)
 
@@ -105,8 +113,7 @@ class SketcherBase:
         def run(codes: jnp.ndarray) -> jnp.ndarray:
             hi, lo, valid = self._windows(codes)
             slots, keys, payload, dvalid = self._darts(hi, lo, valid)
-            race = bucket_min(slots, keys, self.nb_slots, payload=payload, valid=dvalid)
-            return self._finalize_race(race)
+            return self._finalize_race(self._race(slots, keys, payload, dvalid))
 
         return jax.jit(run)
 
@@ -164,6 +171,17 @@ class SketcherBase:
                 out[i] = self.sketch_codes(codes)
             else:
                 groups.setdefault(block_length(len(codes)), []).append(i)
+        # dispatch asynchronously, fetch behind a small in-flight window so
+        # host batch-assembly and upload overlap with device compute
+        pending: list = []
+
+        def drain(limit: int):
+            while len(pending) > limit:
+                chunk, dev_sigs = pending.pop(0)
+                sigs = np.asarray(dev_sigs)
+                for row, i in enumerate(chunk):
+                    out[i] = sigs[row]
+
         for nb, idxs in groups.items():
             bcap = max(1, (1 << self._BATCH_ELEMS_LOG2) // nb)
             for start in range(0, len(idxs), bcap):
@@ -175,9 +193,9 @@ class SketcherBase:
                 arr = np.full((b, nb), 255, dtype=np.uint8)
                 for row, i in enumerate(chunk):
                     arr[row, : len(codes_list[i])] = codes_list[i]
-                sigs = np.asarray(self._batch_fn(b, nb)(jnp.asarray(arr)))
-                for row, i in enumerate(chunk):
-                    out[i] = sigs[row]
+                pending.append((chunk, self._batch_fn(b, nb)(jnp.asarray(arr))))
+                drain(limit=3)
+        drain(limit=0)
         return out
 
 

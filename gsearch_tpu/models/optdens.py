@@ -31,6 +31,7 @@ _DENS_ROUNDS = 32
 
 class OptDensSketcher(SketcherBase):
     SIG_DTYPE = np.float32
+    USE_PACKED_RACE = True  # payload-free: packed single-key sort fast path
     _DENS_FAMILY = 0x0D15EA5E  # probe-hash family seed
 
     def _darts(self, hi, lo, valid):

@@ -73,7 +73,9 @@ def _mxu_candidates(q_exp: jnp.ndarray, db_exp: jnp.ndarray, nb_cand: int):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [Q, N]
-    _, cand = jax.lax.top_k(scores, nb_cand)
+    # top_k over int32 is pathologically slow on TPU; scores are bounded by
+    # m*S < 2^24 so the f32 conversion is lossless
+    _, cand = jax.lax.top_k(scores.astype(jnp.float32), nb_cand)
     return cand
 
 
