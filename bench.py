@@ -76,21 +76,36 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # secondary (stderr only): recall@10 of the MXU path vs the exact
-    # equal-count oracle on a query subsample
+    # secondary (stderr only): recall@10 of the MXU path on PLANTED
+    # neighbors (random signatures are all equidistant, so an oracle top-10
+    # there is tie-broken noise; plant 10 rows per query at distinct
+    # distances instead and check the searcher finds exactly those)
     try:
-        from gsearch_tpu.ops.distance import bucketed_knn
-
-        q_sub = q[:128]
-        d_ex, ids_ex = bucketed_knn(q_sub, db, KNBN)
-        d_mx, ids_mx = searcher.search(q_sub, knbn=KNBN)
+        nq_chk = 32
+        db_chk = db.copy()
+        expected = np.empty((nq_chk, KNBN), dtype=np.int64)
+        # fresh queries NOT present in the db (else the source row at
+        # distance 0 displaces the farthest plant)
+        q_chk = rng.random((nq_chk, S)).astype(np.float32)
+        rows = rng.choice(N_DB, nq_chk * KNBN, replace=False).reshape(nq_chk, KNBN)
+        for i in range(nq_chk):
+            for j in range(KNBN):
+                frac = 0.05 + 0.05 * j  # distances 0.05 .. 0.50
+                r = q_chk[i].copy()
+                mask = rng.random(S) < frac
+                r[mask] = rng.random(mask.sum()).astype(np.float32)
+                db_chk[rows[i, j]] = r
+            expected[i] = rows[i][np.argsort([0.05 + 0.05 * j for j in range(KNBN)])]
+        chk = MxuSearcher(db_chk, m=4, rerank_factor=8)
+        _, ids_chk = chk.search(q_chk, knbn=KNBN)
         recall = float(
             np.mean([
-                len(set(ids_ex[i].tolist()) & set(ids_mx[i].tolist())) / KNBN
-                for i in range(len(q_sub))
+                len(set(expected[i].tolist()) & set(ids_chk[i].tolist())) / KNBN
+                for i in range(nq_chk)
             ])
         )
-        print(f"[bench] recall@{KNBN} (MXU vs exact oracle): {recall:.4f}", file=sys.stderr)
+        del chk
+        print(f"[bench] recall@{KNBN} (planted neighbors): {recall:.4f}", file=sys.stderr)
     except Exception as e:
         print(f"[bench] recall check failed: {e}", file=sys.stderr)
 

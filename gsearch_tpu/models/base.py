@@ -94,6 +94,27 @@ class SketcherBase:
             return bucket_min_packed(slots, keys, self.nb_slots, valid=dvalid)
         return bucket_min(slots, keys, self.nb_slots, payload=payload, valid=dvalid)
 
+    # ---- 2-bit host packing (DNA): uploads are the build bottleneck on
+    # relayed/remote device setups, so ship 0.375 B/base instead of 1 ----
+
+    @staticmethod
+    def _pack_host(arr: np.ndarray):
+        """u8 codes [b, nb] -> (2-bit codes [b, nb//4], valid bits [b, nb//8])."""
+        valid = arr < 4
+        c = np.where(valid, arr, 0).astype(np.uint8)
+        p2 = (c[:, 0::4] | (c[:, 1::4] << 2) | (c[:, 2::4] << 4) | (c[:, 3::4] << 6))
+        vb = np.packbits(valid, axis=-1, bitorder="little")
+        return p2, vb
+
+    @staticmethod
+    def _unpack_device(p2: jnp.ndarray, vb: jnp.ndarray, nb: int) -> jnp.ndarray:
+        b = p2.shape[0]
+        c = jnp.stack([(p2 >> (2 * i)) & jnp.uint8(3) for i in range(4)], axis=-1)
+        c = c.reshape(b, nb)
+        v = jnp.stack([(vb >> i) & jnp.uint8(1) for i in range(8)], axis=-1)
+        v = v.reshape(b, nb).astype(jnp.bool_)
+        return jnp.where(v, c, jnp.uint8(255))
+
     @functools.lru_cache(maxsize=None)
     def _block_fn(self, nb: int):
         def run(codes: jnp.ndarray) -> RaceResult:
@@ -110,10 +131,17 @@ class SketcherBase:
         pool (dnasketch.rs:300-325): dispatch latency and sort fixed costs
         amortize over the batch."""
 
-        def run(codes: jnp.ndarray) -> jnp.ndarray:
-            hi, lo, valid = self._windows(codes)
-            slots, keys, payload, dvalid = self._darts(hi, lo, valid)
-            return self._finalize_race(self._race(slots, keys, payload, dvalid))
+        if self.is_aa:
+            def run(codes: jnp.ndarray) -> jnp.ndarray:
+                hi, lo, valid = self._windows(codes)
+                slots, keys, payload, dvalid = self._darts(hi, lo, valid)
+                return self._finalize_race(self._race(slots, keys, payload, dvalid))
+        else:
+            def run(p2: jnp.ndarray, vb: jnp.ndarray) -> jnp.ndarray:
+                codes = self._unpack_device(p2, vb, nb)
+                hi, lo, valid = self._windows(codes)
+                slots, keys, payload, dvalid = self._darts(hi, lo, valid)
+                return self._finalize_race(self._race(slots, keys, payload, dvalid))
 
         return jax.jit(run)
 
@@ -154,8 +182,11 @@ class SketcherBase:
         return self._block_fn(nb)(jnp.asarray(codes))
 
     # total elements per batched dispatch: bounds sort memory and keeps one
-    # compiled (batch, block) shape per block bucket
-    _BATCH_ELEMS_LOG2 = 23
+    # compiled (batch, block) shape per block bucket; larger on TPU where
+    # per-dispatch overhead is the limiter
+    @functools.cached_property
+    def _BATCH_ELEMS_LOG2(self) -> int:
+        return 25 if jax.default_backend() == "tpu" else 23
 
     def sketch_many(self, codes_list: Sequence[np.ndarray]) -> np.ndarray:
         """Signatures for a list of genomes, stacked [B, nb_slots].
@@ -193,7 +224,12 @@ class SketcherBase:
                 arr = np.full((b, nb), 255, dtype=np.uint8)
                 for row, i in enumerate(chunk):
                     arr[row, : len(codes_list[i])] = codes_list[i]
-                pending.append((chunk, self._batch_fn(b, nb)(jnp.asarray(arr))))
+                if self.is_aa:
+                    dev = self._batch_fn(b, nb)(jnp.asarray(arr))
+                else:
+                    p2, vb = self._pack_host(arr)
+                    dev = self._batch_fn(b, nb)(jnp.asarray(p2), jnp.asarray(vb))
+                pending.append((chunk, dev))
                 drain(limit=3)
         drain(limit=0)
         return out

@@ -122,34 +122,38 @@ def bucket_min_packed(
     # which is genome-dependent — affects ~2^-(val_bits) of slots, far
     # below sketch noise.
     s_packed, s_key = jax.lax.sort((packed, keys), dimension=-1, num_keys=1)
+    s_slots = (s_packed >> val_bits).astype(jnp.int32)
 
-    # run heads (first dart of each slot run) -> compact to the front with
-    # a second sort, so the per-slot lookup scans a small block instead of
-    # binary-searching the full dart stream
-    pad = [(0, 0)] * (s_packed.ndim - 1) + [(1, 0)]
-    prev = jnp.pad(s_packed >> val_bits, pad, constant_values=np.uint32(0xFFFFFFFF))[..., :-1]
-    is_head = (s_packed >> val_bits) != prev
-    heads = jnp.where(is_head, s_packed, jnp.uint32(0xFFFFFFFF))
-    h_packed, h_key = jax.lax.sort((heads, s_key), dimension=-1, num_keys=1)
-
-    front = min(1 << slot_bits, h_packed.shape[-1])  # all distinct slots fit
-    block = h_packed[..., :front]
-    block_key = h_key[..., :front]
-    block_slots = (block >> val_bits).astype(jnp.int32)
-
+    # two-level lookup of each slot's run head: binary-search a strided
+    # skeleton of the sorted stream, then scan one stride-wide window with
+    # a gather — O(S log(N/stride) + S*stride) instead of O(S log N)
+    # full-stream binary search or a second full sort
+    n = s_slots.shape[-1]
+    stride = 64
+    skeleton = s_slots[..., ::stride]  # [..., ceil(n/stride)]
+    nsk = skeleton.shape[-1]
     targets = jnp.arange(nb_slots, dtype=jnp.int32)
 
     def row_search(srow):
         return jnp.searchsorted(srow, targets, side="left").astype(jnp.int32)
 
-    batch_shape = block.shape[:-1]
-    flat = block_slots.reshape((-1, front))
-    idx = jax.vmap(row_search)(flat).reshape(batch_shape + (nb_slots,))
-    idx_c = jnp.minimum(idx, front - 1)
-    hit = jnp.take_along_axis(block_slots, idx_c, axis=-1)
-    found = (hit == targets) & (idx < front)
-    key = jnp.take_along_axis(block_key, idx_c, axis=-1)
-    return RaceResult(found=found, key=key, payload=key)
+    batch_shape = s_slots.shape[:-1]
+    flat_skel = skeleton.reshape((-1, nsk))
+    coarse = jax.vmap(row_search)(flat_skel).reshape(batch_shape + (nb_slots,))
+    # the head of slot s lies in [max(coarse-1, 0)*stride, coarse*stride]
+    start = jnp.maximum(coarse - 1, 0) * stride
+    start = jnp.minimum(start, max(n - stride - 1, 0))
+    offs = jnp.arange(stride + 1, dtype=jnp.int32)
+    win_idx = start[..., None] + offs  # [..., S, stride+1]
+    win_slots = jnp.take_along_axis(
+        s_slots, win_idx.reshape(batch_shape + (-1,)), axis=-1
+    ).reshape(batch_shape + (nb_slots, stride + 1))
+    match = win_slots == targets[..., :, None]
+    has = match.any(-1)
+    first = jnp.argmax(match, axis=-1)
+    pos = jnp.take_along_axis(win_idx, first[..., None], axis=-1)[..., 0]
+    key = jnp.take_along_axis(s_key, pos, axis=-1)
+    return RaceResult(found=has, key=key, payload=key)
 
 
 def empty_race(batch_shape: tuple, nb_slots: int) -> RaceResult:
