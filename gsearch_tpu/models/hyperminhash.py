@@ -93,16 +93,33 @@ def cardinality(reg: np.ndarray) -> float:
     return float(est)
 
 
+def _expected_collisions(n: float, m: float, nb_buckets: int) -> float:
+    """Expected register collisions between two INDEPENDENT sketches of
+    cardinalities n, m (Yu & Weber 2017, large-range approximation): the
+    HLL exponents of two unrelated streams still coincide with probability
+    ~ phi(n/m), and the r fraction bits then collide with prob 2^-r."""
+    if n <= 0 or m <= 0:
+        return 0.0
+    if n < m:
+        n, m = m, n
+    ratio = n / m
+    phi = (4.0 * ratio) / ((1.0 + ratio) ** 2)
+    collision_const = 0.169919487159739093975315012348
+    return collision_const * nb_buckets * phi * (2.0 ** -R_BITS)
+
+
 def similarity(reg_a: np.ndarray, reg_b: np.ndarray) -> float:
-    """Jaccard estimate: matching non-empty registers / occupied slots."""
+    """Jaccard estimate: matching non-empty registers over occupied slots,
+    corrected for expected random collisions (arXiv 1710.08436 §3.3)."""
     a, b = reg_a, reg_b
     both = (a != 0) & (b != 0)
     either = (a != 0) | (b != 0)
-    n = int(either.sum())
-    if n == 0:
+    n_occ = int(either.sum())
+    if n_occ == 0:
         return 0.0
     c = int((both & (a == b)).sum())
-    return c / n
+    ec = _expected_collisions(cardinality(a), cardinality(b), reg_a.shape[-1])
+    return max(0.0, (c - ec) / n_occ)
 
 
 def make_hyperminhash(nb_buckets: int = 4096, kmer_size: int = 16, is_aa: bool = False,
