@@ -13,12 +13,40 @@ import argparse
 import sys
 
 
+def load_train_model(path_or_name: str):
+    """Load a codon-usage model.
+
+    "standard" = built-in; otherwise a JSON file {"codon_usage":
+    {"ATG": freq, ...}} (e.g. computed from a reference proteome) — the
+    role of FragGeneScan's train files (reference:
+    binaux/src/bin/FragGeneScanRs.rs:116-119)."""
+    import numpy as np
+
+    from ..models.genepred import _codon_id, default_codon_logusage
+
+    if path_or_name == "standard":
+        return default_codon_logusage()
+    import json
+
+    with open(path_or_name) as f:
+        d = json.load(f)
+    usage = np.full(64, 1e-9, dtype=np.float64)
+    for codon, freq in d["codon_usage"].items():
+        usage[_codon_id(codon.upper())] = max(float(freq), 1e-9)
+    usage /= usage.sum()
+    return np.log(usage).astype(np.float32)
+
+
 def run_genepred(seq_file: str, out_prefix: str, whole_genes: bool = True,
-                 min_len: int = 90) -> int:
+                 min_len: int = 90, train: str = "standard") -> int:
     from ..io.fasta import parse_fasta
     from ..models.genepred import GenePredParams, predict_genes
 
-    params = GenePredParams(whole_genes_only=whole_genes, min_gene_len=min_len)
+    params = GenePredParams(
+        codon_logusage=load_train_model(train),
+        whole_genes_only=whole_genes,
+        min_gene_len=min_len,
+    )
     n_genes = 0
     with open(out_prefix + ".faa", "w") as faa, \
          open(out_prefix + ".ffn", "w") as ffn, \
@@ -50,13 +78,15 @@ def main(argv=None) -> int:
                     help="1: whole genes (genomes), 0: allow fragments (reads)")
     ap.add_argument("--min_len", type=int, default=90)
     ap.add_argument("-t", "--train", default="standard",
-                    help="accepted for parity; built-in codon model")
+                    help='"standard" or a JSON codon-usage file '
+                         '{"codon_usage": {"ATG": freq, ...}}')
     ap.add_argument("-p", "--threads", type=int, default=0, help="accepted for parity; unused")
     args = ap.parse_args(argv)
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
-    n = run_genepred(args.seq, args.out, whole_genes=args.whole == 1, min_len=args.min_len)
+    n = run_genepred(args.seq, args.out, whole_genes=args.whole == 1,
+                     min_len=args.min_len, train=args.train)
     print(f"predicted {n} genes -> {args.out}.faa/.ffn/.gff/.out", file=sys.stderr)
     return 0
 

@@ -28,6 +28,19 @@ _SLOT_SEED = 0x0BADF00D
 _KEY_SEED = 0x5CA1AB1E
 _DENS_ROUNDS = 32
 
+_M32 = 0xFFFFFFFF
+
+
+def _mix32_py(x: int) -> int:
+    """Host-side lowbias32 (matches ops.hash.mix32 for static scalars)."""
+    x &= _M32
+    x ^= x >> 16
+    x = (x * 0x7FEB352D) & _M32
+    x ^= x >> 15
+    x = (x * 0x846CA68B) & _M32
+    x ^= x >> 16
+    return x
+
 
 class OptDensSketcher(SketcherBase):
     SIG_DTYPE = np.float32
@@ -65,14 +78,31 @@ class OptDensSketcher(SketcherBase):
 
 
 class RevOptDensSketcher(OptDensSketcher):
-    """Reverse-optimal densification variant (reference:
+    """Reverse-optimal densification (reference:
     src/dna/dnasketch.rs:620-642; Mai et al. densification family).
 
-    The push-based "reverse" rule is scatter-shaped; on TPU we realize the
-    same estimator family gather-based with an independent probe-hash
-    family, which keeps the densified-slot collision statistics of the
-    optimal scheme while remaining one fused kernel.  (The f32 signatures
-    and the OPH race are identical to OPTDENS; only probe hashing differs.)
+    In the reverse scheme non-empty bins PUSH their value outward; an
+    empty bin takes the value of whichever non-empty bin reaches it first.
+    Push is scatter-shaped, but with an invertible per-round probe
+    (a rotation i -> i + a_r mod S) the push inverts into a gather: empty
+    bin i checks source (i - a_r) mod S each round and takes the first
+    non-empty hit — faithful semantics, still one fused vectorized loop.
     """
 
-    _DENS_FAMILY = 0x7E57AB1E
+    def _densify(self, race):
+        s = self.nb_slots
+        idx = jnp.arange(s, dtype=jnp.uint32)
+        key = jnp.where(race.found, race.key, jnp.uint32(0))
+        out_key = key
+        still_empty = ~race.found
+        for r in range(_DENS_ROUNDS):
+            # per-round rotation offset (same for every bin => invertible);
+            # computed host-side (static) with the same lowbias32 mix
+            a_r = _mix32_py(r ^ self.seed ^ 0x7E57AB1E) % max(s - 1, 1) + 1
+            src = ((idx + jnp.uint32(s - a_r)) % jnp.uint32(s)).astype(jnp.int32)
+            src_found = jnp.take(race.found, src, axis=-1)
+            take = still_empty & src_found
+            out_key = jnp.where(take, jnp.take(key, src, axis=-1), out_key)
+            still_empty = still_empty & ~src_found
+        filler = mix32(idx, self.seed ^ 0xDEADBEEF)
+        return jnp.where(still_empty, filler, out_key)
