@@ -208,13 +208,34 @@ class HnswIndex:
         self._sigs = np.concatenate([self._sigs, batch], axis=0)
         self._nbrs = np.concatenate([self._nbrs, new_nbrs], axis=0)
 
-        # forward links: top-M0 nearest candidates
-        take = min(self.m0, cand_ids.shape[1])
+        # neighbor-diversification heuristic over the nearest candidates
+        # (Malkov SELECT-NEIGHBORS-HEURISTIC; the reference enables the
+        # extend-candidates flavor, dnasketch.rs:159): keep candidate c only
+        # if it is closer to the new node than to every kept neighbor —
+        # computed as one batched pairwise-distance block on device
+        ncand = min(cand_ids.shape[1], 2 * self.m0)
+        if ncand > 2:
+            keep_mask = np.asarray(
+                _select_heuristic_jit(
+                    jnp.asarray(batch),
+                    jnp.asarray(self._sigs[np.clip(cand_ids[:, :ncand], 0, self.nb_points - 1)]),
+                    jnp.asarray(cand_d[:, :ncand]),
+                )
+            )
+        else:
+            keep_mask = np.isfinite(cand_d[:, :ncand])
+
+        take = min(self.m0, ncand)
         for i in range(b):
-            ids_i = cand_ids[i, :take]
-            d_i = cand_d[i, :take]
-            keep = np.isfinite(d_i)
-            self._nbrs[n + i, : keep.sum()] = ids_i[keep]
+            good = keep_mask[i] & np.isfinite(cand_d[i, :ncand])
+            ids_i = cand_ids[i, :ncand][good][:take]
+            # backfill with nearest non-kept candidates (keeping_pruned
+            # spirit, but only to fill spare degree)
+            if len(ids_i) < take:
+                rest = cand_ids[i, :ncand][~good]
+                rest = rest[np.isfinite(cand_d[i, :ncand][~good])]
+                ids_i = np.concatenate([ids_i, rest[: take - len(ids_i)]])
+            self._nbrs[n + i, : len(ids_i)] = ids_i
 
         # reverse links with pruning: new node becomes a neighbor of its
         # targets; overfull targets drop their farthest link
@@ -279,6 +300,37 @@ class HnswIndex:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@jax.jit
+def _select_heuristic_jit(node_sigs, cand_sigs, cand_d):
+    """Batched SELECT-NEIGHBORS-HEURISTIC.
+
+    node_sigs [B, S]; cand_sigs [B, C, S] (distance-sorted); cand_d [B, C].
+    Candidate j survives iff d(node, j) < d(j, k) for every already-kept k —
+    the greedy diversification that keeps graph edges spread across
+    directions. One pairwise equal-count block + a lax.scan over C."""
+    s = node_sigs.shape[-1]
+
+    def view(x):
+        return x.view(jnp.uint32) if x.dtype == jnp.float32 else x
+
+    cs = view(cand_sigs)
+    eq = (cs[:, :, None, :] == cs[:, None, :, :]).sum(-1).astype(jnp.float32)
+    pair_d = 1.0 - eq / jnp.float32(s)  # [B, C, C]
+    b, c = cand_d.shape
+
+    def step(kept, j):
+        # candidate j survives if closer to the node than to every kept one
+        d_to_kept = jnp.where(kept, pair_d[:, j, :], jnp.inf)  # [B, C]
+        ok = cand_d[:, j] < jnp.min(d_to_kept, axis=-1)
+        ok = ok & jnp.isfinite(cand_d[:, j])
+        kept = kept.at[:, j].set(ok)
+        return kept, ok
+
+    kept0 = jnp.zeros((b, c), dtype=jnp.bool_).at[:, 0].set(jnp.isfinite(cand_d[:, 0]))
+    kept, _ = jax.lax.scan(step, kept0, jnp.arange(1, c))
+    return kept
 
 
 # ---------------------------------------------------------------------------

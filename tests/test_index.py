@@ -49,12 +49,21 @@ def test_hnsw_recall_vs_flat(rng, tmp_path):
         search_prefix=s,
     )
     hnsw.insert(sigs, batch_size=512)
-    _, got_ids = hnsw.search(queries, knbn=k, ef_search=128)
+    true_d, _ = flat.search(queries, knbn=k)
+    got_d, got_ids = hnsw.search(queries, knbn=k, ef_search=128)
 
+    # raw id recall is confounded by equal-distance ties; count a miss only
+    # when the returned distance is strictly worse than the oracle's
     recall = np.mean([
         len(set(true_ids[i]) & set(got_ids[i])) / k for i in range(len(queries))
     ])
-    assert recall >= 0.9, f"recall@{k} = {recall:.3f}"
+    tie_aware = np.mean([
+        1.0 - sum(1 for a, b in zip(sorted(got_d[i]), sorted(true_d[i]))
+                  if a > b + 1e-6) / k
+        for i in range(len(queries))
+    ])
+    assert tie_aware >= 0.99, f"tie-aware recall@{k} = {tie_aware:.3f} (raw {recall:.3f})"
+    assert recall >= 0.85, f"raw recall@{k} = {recall:.3f}"
 
     # serialization roundtrip preserves results
     dump_index(hnsw, str(tmp_path))
