@@ -33,6 +33,7 @@ class FlatIndex:
         self.sig_dtype = np.dtype(sig_dtype)
         self._sigs = np.empty((0, sketch_size), dtype=self.sig_dtype)
         self._device_sigs = None
+        self._mxu = None
 
     @property
     def nb_points(self) -> int:
@@ -41,12 +42,17 @@ class FlatIndex:
     def get_nb_point(self) -> int:  # reference-parity name (dnasketch.rs:437)
         return self.nb_points
 
+    # databases at least this large route searches through the MXU
+    # sign-expansion estimator + exact rerank (on TPU backends)
+    MXU_MIN_POINTS = 4096
+
     def insert(self, sigs: np.ndarray) -> None:
         """Append a batch of signatures; ids are assigned consecutively
         (the SeqDict rank IS the data id, idsketch.rs:152-154)."""
         assert sigs.shape[1] == self.sketch_size
         self._sigs = np.concatenate([self._sigs, sigs.astype(self.sig_dtype)], axis=0)
         self._device_sigs = None  # device copy is stale
+        self._mxu = None
 
     def _device(self):
         if self._device_sigs is None:
@@ -61,6 +67,16 @@ class FlatIndex:
         if self.nb_points == 0:
             q = queries.shape[0]
             return np.full((q, 0), np.inf, np.float32), np.zeros((q, 0), np.int32)
+        import jax
+
+        if jax.default_backend() == "tpu" and self.nb_points >= self.MXU_MIN_POINTS:
+            # throughput path: MXU estimator + exact rerank (ops/mxu.py);
+            # returned distances are bit-exact equal-count values
+            if self._mxu is None:
+                from ..ops.mxu import MxuSearcher
+
+                self._mxu = MxuSearcher(self._sigs)
+            return self._mxu.search(queries.astype(self.sig_dtype), knbn)
         from ..ops.distance import bucketed_knn
 
         return bucketed_knn(queries.astype(self.sig_dtype), self._sigs, knbn)

@@ -42,7 +42,9 @@ log = get_logger(__name__)
 # real wall-clock the first time.
 _MIN_BLOCK_LOG2 = 14
 _MAX_BLOCK_LOG2 = 22
-_BLOCK_STEP_LOG2 = 2
+# x2 steps keep every genome >= half its block: the packed race's windowed
+# pre-reduction derives its worst-case darts-per-slot bound from that fill
+_BLOCK_STEP_LOG2 = 1
 
 
 def block_length(n: int) -> int:

@@ -92,68 +92,80 @@ def combine_race(a: RaceResult, b: RaceResult) -> RaceResult:
     )
 
 
+_PR_WINDOW = 32      # pre-reduce window width
+_PR_KEEP = 6         # darts kept per window
+
+
 def bucket_min_packed(
     slots: jnp.ndarray,
     keys: jnp.ndarray,
     nb_slots: int,
     valid: Optional[jnp.ndarray] = None,
 ) -> RaceResult:
-    """Fast path for payload-free races (OPH/OptDens): slot and key pack
-    into ONE 32-bit sort key, so the big sort compares a single operand.
+    """Fast path for payload-free races (OPH/OptDens): windowed top-K
+    pre-reduction + one scatter-min.  No sorts, no gathers — both were
+    measured pathological on this TPU path (sorted-stream lookup gathers:
+    ~700ms for 32x1M; plain scatter-min of every dart: ~370ms).
 
-    The key keeps only its top (32 - slot_bits) bits — winners are still
-    exact per slot; two different elements tie only with prob 2^-(32-sb),
-    far below sketch sampling noise.  Extraction avoids the expensive
-    N-scale binary search: a SECOND cheap sort moves the <= nb_slots run
-    heads to the front, and the small searchsorted runs on that compact
-    block.  (Measured on TPU: 2-op/2-key sort 41ms + N-searchsorted 56ms
-    vs packed 29ms + 29ms + small lookup for 8x1M darts.)
+    Each dart packs as (key-high-bits | slot) in one u32 word, so a plain
+    min-reduce over a positional window keeps the window's best dart AND
+    its slot.  Keeping the top _PR_KEEP distinct words per window shrinks
+    the scatter's update stream W/K-fold; a slot's true winner is lost
+    only if >= K smaller-keyed darts share its window — with t darts per
+    slot that is ~C(W-1,K)/(t+1)^K, <= 1e-4 for the gated shapes (the
+    gate requires n/window >= a safe darts-per-slot floor; smaller inputs
+    take the plain scatter, which is already cheap at their size).
     """
     slot_bits = max(1, (nb_slots).bit_length())
-    val_bits = 32 - slot_bits
+    low_mask = (1 << slot_bits) - 1
     slots = slots.astype(jnp.uint32)
+    keys_hi = keys & jnp.uint32(~np.uint32(low_mask))
+    dart = keys_hi | slots
     if valid is not None:
-        slots = jnp.where(valid, slots, jnp.uint32(nb_slots))
-    packed = (slots << val_bits) | (keys >> slot_bits)
-    # NOTE single-operand u32 sort hits a pathological XLA:TPU fallback
-    # (minutes); the 2-operand variadic sort is the fast path, and carrying
-    # the exact keys restores full-precision winner values.  Within-slot
-    # ties on the top val_bits break by input position (sort stability),
-    # which is genome-dependent — affects ~2^-(val_bits) of slots, far
-    # below sketch noise.
-    s_packed, s_key = jax.lax.sort((packed, keys), dimension=-1, num_keys=1)
-    s_slots = (s_packed >> val_bits).astype(jnp.int32)
+        dart = jnp.where(valid, dart, jnp.uint32(0xFFFFFFFF))
+    else:
+        dart = jnp.where(slots < nb_slots, dart, jnp.uint32(0xFFFFFFFF))
 
-    # two-level lookup of each slot's run head: binary-search a strided
-    # skeleton of the sorted stream, then scan one stride-wide window with
-    # a gather — O(S log(N/stride) + S*stride) instead of O(S log N)
-    # full-stream binary search or a second full sort
-    n = s_slots.shape[-1]
-    stride = 64
-    skeleton = s_slots[..., ::stride]  # [..., ceil(n/stride)]
-    nsk = skeleton.shape[-1]
-    targets = jnp.arange(nb_slots, dtype=jnp.int32)
+    batch_shape = dart.shape[:-1]
+    n = dart.shape[-1]
+    w, k = _PR_WINDOW, _PR_KEEP
+    # safety gate: worst-case darts-per-slot for this static shape (a
+    # genome can fill as little as ~half its block bucket)
+    if n % w == 0 and (n // 2) / nb_slots >= 40:
+        # strided bubble-insert: window g = positions [g*w, (g+1)*w); the w
+        # strided slices [.., j::w] are lane-friendly [B, n/w] arrays and
+        # the K-deep insertion chain is pure elementwise min/max.  Exact
+        # duplicates (repeat k-mers) are dropped as they enter the chain so
+        # tandem repeats cannot evict other slots' minima.
+        sent = jnp.uint32(0xFFFFFFFF)
+        mins = [jnp.full(batch_shape + (n // w,), sent, jnp.uint32) for _ in range(k)]
+        for j in range(w):
+            x = dart[..., j::w]
+            for i in range(k):
+                dup = x == mins[i]
+                new_min = jnp.minimum(mins[i], x)
+                x = jnp.where(dup, sent, jnp.maximum(mins[i], x))
+                mins[i] = new_min
+        dart = jnp.concatenate(mins, axis=-1)
 
-    def row_search(srow):
-        return jnp.searchsorted(srow, targets, side="left").astype(jnp.int32)
-
-    batch_shape = s_slots.shape[:-1]
-    flat_skel = skeleton.reshape((-1, nsk))
-    coarse = jax.vmap(row_search)(flat_skel).reshape(batch_shape + (nb_slots,))
-    # the head of slot s lies in [max(coarse-1, 0)*stride, coarse*stride]
-    start = jnp.maximum(coarse - 1, 0) * stride
-    start = jnp.minimum(start, max(n - stride - 1, 0))
-    offs = jnp.arange(stride + 1, dtype=jnp.int32)
-    win_idx = start[..., None] + offs  # [..., S, stride+1]
-    win_slots = jnp.take_along_axis(
-        s_slots, win_idx.reshape(batch_shape + (-1,)), axis=-1
-    ).reshape(batch_shape + (nb_slots, stride + 1))
-    match = win_slots == targets[..., :, None]
-    has = match.any(-1)
-    first = jnp.argmax(match, axis=-1)
-    pos = jnp.take_along_axis(win_idx, first[..., None], axis=-1)[..., 0]
-    key = jnp.take_along_axis(s_key, pos, axis=-1)
-    return RaceResult(found=has, key=key, payload=key)
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    nb_pad = 1 << slot_bits
+    init = jnp.full(batch_shape + (nb_pad,), sentinel, dtype=jnp.uint32)
+    tgt = (dart & jnp.uint32(low_mask)).astype(jnp.int32)
+    if batch_shape:
+        b = int(np.prod(batch_shape))
+        nn = dart.shape[-1]
+        rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, nn))
+        out = init.reshape(b, nb_pad).at[rows, tgt.reshape(b, nn)].min(
+            dart.reshape(b, nn)
+        ).reshape(batch_shape + (nb_pad,))
+    else:
+        out = init.at[tgt].min(dart)
+    out = out[..., :nb_slots]
+    # empty slot <=> still sentinel (a real dart with all key-high bits set
+    # maps there with prob 2^-(32-slot_bits); indistinguishable, harmless)
+    found = out != sentinel
+    return RaceResult(found=found, key=out, payload=out)
 
 
 def empty_race(batch_shape: tuple, nb_slots: int) -> RaceResult:
