@@ -105,9 +105,7 @@ def sharded_sketch_and_knn_step(mesh: Mesh, sketcher, block_len: int, knbn: int)
     def sketch_block(codes: jnp.ndarray) -> jnp.ndarray:
         hi, lo, valid = sketcher._windows(codes)
         slots, keys, payload, dvalid = sketcher._darts(hi, lo, valid)
-        from ..ops.race import bucket_min
-
-        race = bucket_min(slots, keys, s_total, payload=payload, valid=dvalid)
+        race = sketcher._race(slots, keys, payload, dvalid)
         return sketcher._finalize_race(race)
 
     def step(codes_local: jnp.ndarray, db_local: jnp.ndarray):
