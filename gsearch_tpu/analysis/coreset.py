@@ -38,20 +38,16 @@ class CoresetResult:
     cost: float              # sum of assignment distances
 
 
-def distance_quantiles(sigs: np.ndarray, nb_pairs: int = 10_000, seed: int = 0) -> dict:
+def distance_quantiles(sigs: np.ndarray, nb_rows: int = 256, seed: int = 0) -> dict:
     """Sampled pairwise-distance quantiles (reference: CKMS sampling at
-    hnswcore.rs:188-228)."""
+    hnswcore.rs:188-228): nb_rows randomly-chosen rows are scored against
+    the whole database in one dense block (nb_rows * N sampled pairs)."""
     rng = np.random.default_rng(seed)
     n = sigs.shape[0]
-    a = rng.integers(0, n, nb_pairs)
-    b = rng.integers(0, n, nb_pairs)
-    d = np.asarray(
-        hamming_frac(jnp.asarray(sigs[a[:256]]), jnp.asarray(sigs))
-    )  # a dense block gives plenty of samples
-    del b
-    flat = d.ravel()
+    rows = rng.choice(n, size=min(nb_rows, n), replace=False)
+    d = np.asarray(hamming_frac(jnp.asarray(sigs[rows]), jnp.asarray(sigs)))
     qs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
-    return {str(q): float(np.quantile(flat, q)) for q in qs}
+    return {str(q): float(np.quantile(d.ravel(), q)) for q in qs}
 
 
 def build_coreset(

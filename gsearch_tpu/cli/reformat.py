@@ -18,6 +18,9 @@ def _process_line(line: str, kmer: int, model: int) -> tuple:
     query_id = os.path.basename(parts[1])
     distance = float(parts[3])
     answer_fasta_path = os.path.basename(parts[5])
+    # parts[7] is the literal token "answer_seq_len:" — the reference's
+    # reformat has the same off-by-one (its output column carries the
+    # label); kept for byte-parity with the reference's TSV
     answer_seq_len = parts[7].strip()
     ani = float(ani_from_distance(distance, kmer, model))
     return (query_id, distance, answer_fasta_path, answer_seq_len, ani)

@@ -43,6 +43,9 @@ _POS_SEED = 0xB165B165
 class BigsiIndex:
     def __init__(self, bloom_len: int, nb_hashes: int, kmer_size: int,
                  minimizer_window: int = 0, seed: int = 0x5EED):
+        # per-instance jit caches; classify programs capture the bloom
+        # matrix, so they are invalidated on every insert
+        self._fn_cache: dict = {}
         self.bloom_len = bloom_len
         self.nb_hashes = nb_hashes
         self.kmer_size = kmer_size
@@ -58,9 +61,11 @@ class BigsiIndex:
 
     # ------------------------------------------------------------- device ops
 
-    @functools.lru_cache(maxsize=None)
     def _positions_fn(self, nb: int):
         """codes [nb] -> (positions [h, nb] int32, valid [nb] bool)."""
+        ck = ("pos", nb)
+        if ck in self._fn_cache:
+            return self._fn_cache[ck]
 
         def run(codes: jnp.ndarray):
             hi, lo, valid = canonical_dna_windows(codes, self.kmer_size)
@@ -82,7 +87,8 @@ class BigsiIndex:
                 pos.append(p.astype(jnp.int32))
             return jnp.stack(pos), valid
 
-        return jax.jit(run)
+        self._fn_cache[ck] = jax.jit(run)
+        return self._fn_cache[ck]
 
     def _genome_positions(self, codes: np.ndarray) -> np.ndarray:
         """All Bloom positions set by a genome (host-side build path)."""
@@ -108,6 +114,8 @@ class BigsiIndex:
         build_single_mini, bigsig.rs:236-317)."""
         j = len(self.names)
         self.names.append(name)
+        # classify programs baked the previous bloom matrix: invalidate
+        self._fn_cache = {k: v for k, v in self._fn_cache.items() if k[0] != "cls"}
         nw_needed = (j // 32) + 1
         if self._bits is None:
             self._bits = np.zeros((self.bloom_len, nw_needed), dtype=np.uint32)
@@ -120,8 +128,10 @@ class BigsiIndex:
 
     # ------------------------------------------------------------------ query
 
-    @functools.lru_cache(maxsize=None)
     def _classify_fn(self, read_len: int, batch: int):
+        ck = ("cls", read_len, batch)
+        if ck in self._fn_cache:
+            return self._fn_cache[ck]
         nw = self._bits.shape[1]
         bloom = jnp.asarray(self._bits)
 
@@ -150,7 +160,8 @@ class BigsiIndex:
             counts = bits.astype(jnp.int32).sum(axis=1).reshape(codes.shape[0], nw * 32)
             return counts, valid.sum(axis=-1).astype(jnp.int32)
 
-        return jax.jit(run_bits)
+        self._fn_cache[ck] = jax.jit(run_bits)
+        return self._fn_cache[ck]
 
     def classify(
         self, reads: np.ndarray, min_fraction: float = 0.7

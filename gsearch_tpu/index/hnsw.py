@@ -109,17 +109,34 @@ class HnswIndex:
     def _device_arrays(self):
         if self._device is None:
             n = self.nb_points
+            # pad the point dimension to a power-of-two bucket so the
+            # growing graph (every insert batch, every `add`) reuses a
+            # handful of compiled beam-search programs — remote compiles
+            # cost seconds to minutes each. Pad rows are sentinels: their
+            # neighbor lists point at the sentinel row and their sigs are
+            # never reachable (no real node links to them).
+            nb = 16
+            while nb < n:
+                nb <<= 1
             sp = self.search_prefix
-            sigs_p = np.concatenate(
-                [self._sigs[:, :sp], np.zeros((1, sp), self.sig_dtype)], axis=0
-            )  # row N = sentinel (distance computed but masked by id checks)
-            nbrs = np.where(self._nbrs == _PAD, n, self._nbrs).astype(np.int32)
-            nbrs_p = np.concatenate([nbrs, np.full((1, self.m0), n, np.int32)], axis=0)
+            sigs_p = np.zeros((nb + 1, sp), self.sig_dtype)
+            sigs_p[:n] = self._sigs[:, :sp]
+            sigs_full = np.zeros((nb, self._sigs.shape[1]), self.sig_dtype)
+            sigs_full[:n] = self._sigs
+            nbrs = np.where(self._nbrs == _PAD, nb, self._nbrs).astype(np.int32)
+            nbrs_p = np.full((nb + 1, self.m0), nb, np.int32)
+            nbrs_p[:n] = nbrs
+            t = len(self._entry_ids)
+            tb = 16
+            while tb < t:
+                tb <<= 1
+            entries = np.full(tb, nb, np.int32)
+            entries[:t] = self._entry_ids
             self._device = (
                 jnp.asarray(sigs_p),
-                jnp.asarray(self._sigs),
+                jnp.asarray(sigs_full),
                 jnp.asarray(nbrs_p),
-                jnp.asarray(self._entry_ids),
+                jnp.asarray(entries),
             )
         return self._device
 
@@ -137,19 +154,22 @@ class HnswIndex:
             q = queries.shape[0]
             return np.full((q, 0), np.inf, np.float32), np.zeros((q, 0), np.int32)
         knbn = min(knbn, n)
-        ef = max(ef_search or 64, knbn)
-        ef = min(ef, max(n, 1))
         sigs_p, sigs_full, nbrs_p, entries = self._device_arrays()
         q_dev = jnp.asarray(queries.astype(self.sig_dtype))
 
         if n <= 2048 or len(self._entry_ids) >= n:
             # tiny database: the entry tier is the whole database
-            d = hamming_frac(q_dev, sigs_full)
-            neg, ids = jax.lax.top_k(-d, knbn)
-            return np.asarray(-neg), np.asarray(ids)
+            from ..ops.distance import bucketed_knn
 
-        ef_round = _round_up(min(ef, n), 64)
-        hops = max(8, int(2 * math.log2(n)) + ef_round // 32)
+            d, ids = bucketed_knn(queries.astype(self.sig_dtype), self._sigs, knbn)
+            return d, ids
+
+        # derive every static knob from the PADDED bucket so the growing
+        # graph reuses compiled programs across insert batches / adds
+        nb = sigs_full.shape[0]
+        ef = max(ef_search or 64, knbn)
+        ef_round = _round_up(min(ef, nb), 64)
+        hops = max(8, int(2 * math.log2(nb)) + ef_round // 32)
         d, ids = _beam_search_jit(
             sigs_p,
             sigs_full,

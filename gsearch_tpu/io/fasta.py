@@ -68,11 +68,12 @@ def parse_fasta(path: str | None = None, data: bytes | None = None) -> Iterator[
     if data is None:
         assert path is not None
         data = read_file_bytes(path)
-    # split on header markers; fragment 0 is pre-header junk (usually empty)
+    # split on LINE-START '>' only: headers may legally contain '>' in the
+    # description, so a bare split(b">") would shred such records
     pos = data.find(b">")
     if pos < 0:
         return
-    for chunk in data[pos + 1 :].split(b">"):
+    for chunk in data[pos + 1 :].split(b"\n>"):
         nl = chunk.find(b"\n")
         if nl < 0:
             continue

@@ -47,11 +47,11 @@ _MAX_BLOCK_LOG2 = 22
 _BLOCK_STEP_LOG2 = 1
 
 
-def block_length(n: int) -> int:
+def block_length(n: int, max_log2: int = _MAX_BLOCK_LOG2) -> int:
     nb = 1 << _MIN_BLOCK_LOG2
-    while nb < n and nb < (1 << _MAX_BLOCK_LOG2):
+    while nb < n and nb < (1 << max_log2):
         nb <<= _BLOCK_STEP_LOG2
-    return min(nb, 1 << _MAX_BLOCK_LOG2)
+    return min(nb, 1 << max_log2)
 
 
 class SketcherBase:
@@ -70,6 +70,9 @@ class SketcherBase:
         self.is_aa = params.data_t == DataType.AA
         if self.is_aa and params.kmer_size > 12:
             raise ValueError("AA kmer_size must be <= 12 (reference: aasketch.rs:464)")
+        # per-instance jit caches (lru_cache on methods would pin `self`
+        # and its device buffers in a global cache forever)
+        self._fn_cache: dict = {}
 
     # ---- subclass interface -------------------------------------------------
 
@@ -117,17 +120,20 @@ class SketcherBase:
         v = v.reshape(b, nb).astype(jnp.bool_)
         return jnp.where(v, c, jnp.uint8(255))
 
-    @functools.lru_cache(maxsize=None)
     def _block_fn(self, nb: int):
+        key = ("block", nb)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+
         def run(codes: jnp.ndarray) -> RaceResult:
             hi, lo, valid = self._windows(codes)
             slots, keys, payload, dvalid = self._darts(hi, lo, valid)
             return self._race(slots, keys, payload, dvalid)
 
-        return jax.jit(run)
+        self._fn_cache[key] = jax.jit(run)
+        return self._fn_cache[key]
 
-    @functools.lru_cache(maxsize=None)
-    def _batch_fn(self, b: int, nb: int):
+    def _batch_fn_impl(self, b: int, nb: int):
         """Sketch a whole [b, nb] batch of same-bucket genomes in ONE
         dispatch — the device analog of the reference's sketcher thread
         pool (dnasketch.rs:300-325): dispatch latency and sort fixed costs
@@ -147,6 +153,12 @@ class SketcherBase:
 
         return jax.jit(run)
 
+    def _batch_fn(self, b: int, nb: int):
+        key = ("batch", b, nb)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._batch_fn_impl(b, nb)
+        return self._fn_cache[key]
+
     @functools.cached_property
     def _combine_fn(self):
         return jax.jit(combine_race)
@@ -162,9 +174,14 @@ class SketcherBase:
         race = self._race_codes(codes)
         return np.asarray(self._finalize_fn(race))
 
+    # longest contiguous block a genome is processed in before streaming
+    # kicks in; subclasses whose statistics span the whole genome (e.g.
+    # ProbMinHash multiplicities) raise it
+    MAX_BLOCK_LOG2 = _MAX_BLOCK_LOG2
+
     def _race_codes(self, codes: np.ndarray) -> RaceResult:
         n = len(codes)
-        max_block = 1 << _MAX_BLOCK_LOG2
+        max_block = 1 << self.MAX_BLOCK_LOG2
         if n <= max_block:
             return self._run_block(codes)
         # stream long genomes through max-size pieces overlapping by k-1 so
@@ -178,7 +195,7 @@ class SketcherBase:
         return race
 
     def _run_block(self, codes: np.ndarray) -> RaceResult:
-        nb = block_length(len(codes))
+        nb = block_length(len(codes), self.MAX_BLOCK_LOG2)
         if len(codes) < nb:
             codes = np.pad(codes, (0, nb - len(codes)), constant_values=255)
         return self._block_fn(nb)(jnp.asarray(codes))

@@ -42,15 +42,19 @@ class FracMinHashSketcher(SketcherBase):
         self.num = num
         self._threshold = np.uint32(min(2**32 - 1, int(2**32 // scaled)))
 
-    @functools.lru_cache(maxsize=None)
     def _hash_fn(self, nb: int):
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        if nb in self._fn_cache:
+            return self._fn_cache[nb]
         def run(codes: jnp.ndarray):
             hi, lo, valid = self._windows(codes)
             h = mix2(hi, lo, self.seed ^ _HASH_SEED)
             keep = valid & (h < jnp.uint32(self._threshold))
             return jnp.where(keep, h, jnp.uint32(0xFFFFFFFF))
 
-        return jax.jit(run)
+        self._fn_cache[nb] = jax.jit(run)
+        return self._fn_cache[nb]
 
     def sketch_codes(self, codes: np.ndarray) -> np.ndarray:
         """Returns the sorted, deduplicated sub-threshold hash set."""

@@ -107,7 +107,12 @@ def _precompute_scores(codes: jnp.ndarray, p: GenePredParams):
     c1 = jnp.roll(c, 2, axis=1)
     c2 = jnp.roll(c, 1, axis=1)
     codon = c1 * 16 + c2 * 4 + c  # [B, L]
-    codon_bad = invalid | jnp.roll(invalid, 1, axis=1) | jnp.roll(invalid, 2, axis=1)
+    # jnp.roll wraps around: the first two positions have no complete codon
+    # and the wrap would fabricate one from the sequence tail
+    pos = jnp.arange(l)[None, :]
+    codon_bad = (
+        invalid | jnp.roll(invalid, 1, axis=1) | jnp.roll(invalid, 2, axis=1) | (pos < 2)
+    )
     # reverse-strand codon ending at i (gene on minus strand read right-to-left):
     # minus-strand codon occupying (i-2, i-1, i) is revcomp(c[i-2..i])
     rc = 3 - c
@@ -135,10 +140,20 @@ def _precompute_scores(codes: jnp.ndarray, p: GenePredParams):
     def bonus(is_hit, strength):
         return jnp.where(is_hit, jnp.float32(strength), jnp.float32(-strength))
 
+    # forward-looking windows: the last two positions have no complete
+    # forward codon (roll wraps to the sequence head)
+    fwd_bad = (
+        invalid
+        | jnp.roll(invalid, -1, axis=1)
+        | jnp.roll(invalid, -2, axis=1)
+        | (pos >= l - 2)
+    )
     # + strand: gene opens at i with a start codon STARTING at i
     cod_start = c * 16 + jnp.roll(c, -1, axis=1) * 4 + jnp.roll(c, -2, axis=1)
-    start_bonus = bonus((cod_start[..., None] == start_ids[None, None, :]).any(-1),
-                        p.start_codon_bonus)
+    start_bonus = bonus(
+        (cod_start[..., None] == start_ids[None, None, :]).any(-1) & ~fwd_bad,
+        p.start_codon_bonus,
+    )
     # + strand: gene closes entering NC at i; its stop codon ENDS at i-1
     is_stop_end = (codon[..., None] == stop_ids[None, None, :]).any(-1)
     stop_bonus = bonus(jnp.roll(is_stop_end, 1, axis=1), p.stop_codon_bonus)
@@ -148,8 +163,10 @@ def _precompute_scores(codes: jnp.ndarray, p: GenePredParams):
     rcod_start = (
         (3 - jnp.roll(c, -2, axis=1)) * 16 + (3 - jnp.roll(c, -1, axis=1)) * 4 + (3 - c)
     )
-    rev_begin_bonus = bonus((rcod_start[..., None] == stop_ids[None, None, :]).any(-1),
-                            p.stop_codon_bonus)
+    rev_begin_bonus = bonus(
+        (rcod_start[..., None] == stop_ids[None, None, :]).any(-1) & ~fwd_bad,
+        p.stop_codon_bonus,
+    )
     # - strand: gene closes entering NC at i; its minus START codon is the
     # rcodon ENDING at i-1
     ris_start_end = (rcodon[..., None] == start_ids[None, None, :]).any(-1)
@@ -264,10 +281,23 @@ def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene
             else:
                 nt_cds = nt
             if p.whole_genes_only:
-                if nt_cds[:3] not in _STARTS or nt_cds[-3:] not in _STOPS:
-                    # trim to the first start / keep; incomplete genes are
-                    # kept for fragment (-w 0) mode only
-                    pass
+                # -w 1: only complete genes. Trim the 5' end to the first
+                # in-frame start codon (the Viterbi opening can be a few
+                # codons off); require a terminal stop.
+                start_off = next(
+                    (i for i in range(0, len(nt_cds) - 2, 3)
+                     if nt_cds[i : i + 3] in _STARTS),
+                    None,
+                )
+                if start_off is None or nt_cds[-3:] not in _STOPS:
+                    continue
+                nt_cds = nt_cds[start_off:]
+                if len(nt_cds) < p.min_gene_len:
+                    continue
+                if strand == "+":
+                    s0 += start_off
+                else:
+                    e0 -= start_off
             aa = _translate(nt_cds)
             if "*" in aa:
                 continue  # internal stop: reject

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.hash import mix2, mix32, uniform01
-from ..ops.race import RaceResult
+from ..ops.race import RaceResult, sketch_fingerprint
 from .base import SketcherBase
 
 _SLOT_SEED = 0x0BADF00D
@@ -67,9 +67,9 @@ class OptDensSketcher(SketcherBase):
             take = still_empty & tgt_found
             out_key = jnp.where(take, jnp.take(key, tgt, axis=-1), out_key)
             still_empty = still_empty & ~tgt_found
-        # pathological case (near-empty sketch): deterministic filler so two
-        # equally-empty genomes do not spuriously match
-        filler = mix32(idx, self.seed ^ 0xDEADBEEF)
+        # pathological case (near-empty sketch): genome-DEPENDENT filler so
+        # two sparse genomes never spuriously agree on commonly-empty slots
+        filler = mix32(idx ^ sketch_fingerprint(race), self.seed ^ 0xDEADBEEF)
         out_key = jnp.where(still_empty, filler, out_key)
         return out_key
 
@@ -104,5 +104,5 @@ class RevOptDensSketcher(OptDensSketcher):
             take = still_empty & src_found
             out_key = jnp.where(take, jnp.take(key, src, axis=-1), out_key)
             still_empty = still_empty & ~src_found
-        filler = mix32(idx, self.seed ^ 0xDEADBEEF)
+        filler = mix32(idx ^ sketch_fingerprint(race), self.seed ^ 0xDEADBEEF)
         return jnp.where(still_empty, filler, out_key)

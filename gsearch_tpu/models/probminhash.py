@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.hash import exp_from_bits, mix2, mix32
-from ..ops.race import RaceResult
+from ..ops.race import RaceResult, sketch_fingerprint
 from .base import SketcherBase
 
 _RANK_SEED = 0xA11CE5
@@ -54,6 +54,11 @@ class ProbMinHashSketcher(SketcherBase):
     SIG_DTYPE = np.uint32
 
     arrivals: int = _ARRIVALS
+    # multiplicities are per-block: a k-mer split across streamed pieces is
+    # under-weighted (each piece counts only its own occurrences), so keep
+    # whole genomes in one block as far as memory allows. Genomes beyond
+    # 8M bases stream with that documented bias (STATUS.md).
+    MAX_BLOCK_LOG2 = 23
 
     def _darts(self, hi, lo, valid):
         # 1. group equal k-mers by sorting (invalid windows to the far end)
@@ -103,6 +108,8 @@ class ProbMinHashSketcher(SketcherBase):
         return slots, keys, pays, dvalid
 
     def _finalize_race(self, race: RaceResult) -> jnp.ndarray:
+        # genome-dependent filler: commonly-empty slots must not count as
+        # agreement between two sparse genomes
         idx = jnp.arange(self.nb_slots, dtype=jnp.uint32)
-        filler = mix32(idx, self.seed ^ 0xD00DF00D)
+        filler = mix32(idx ^ sketch_fingerprint(race), self.seed ^ 0xD00DF00D)
         return jnp.where(race.found, race.payload, filler)

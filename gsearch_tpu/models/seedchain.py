@@ -54,15 +54,19 @@ class SeedChainer:
         self.seed = seed
         self._threshold = np.uint32(int(2**32 // c))
 
-    @functools.lru_cache(maxsize=None)
     def _seed_fn(self, nb: int):
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        if nb in self._fn_cache:
+            return self._fn_cache[nb]
         def run(codes: jnp.ndarray):
             hi, lo, valid = canonical_dna_windows(codes, self.k)
             h = mix2(hi, lo, self.seed)
             keep = valid & (h < jnp.uint32(self._threshold))
             return jnp.where(keep, h, jnp.uint32(0xFFFFFFFF))
 
-        return jax.jit(run)
+        self._fn_cache[nb] = jax.jit(run)
+        return self._fn_cache[nb]
 
     def sketch(self, codes: np.ndarray) -> SeedSketch:
         n = len(codes)

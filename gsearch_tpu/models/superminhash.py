@@ -20,7 +20,9 @@ fold everything into one `bucket_min` race:
 Truncation bias: an arrival j >= C could only win a slot whose current
 minimum exceeds j; with |set| = K distinct k-mers, per-slot minima are
 ~ U-order-statistics of K/S draws, so C = 2 is already exact-in-practice
-for K >> S (whole genomes).  C scales up automatically for small inputs.
+for K >> S (whole genomes).  For K << S many slots stay empty; empty
+slots are filled with a genome-dependent filler (never matching), so
+sparse inputs lose precision but gain no spurious similarity.
 
 SUPER stores the winning value as f32 (reference Sig = f32); SUPER2 stores
 an integer fingerprint of the winning element (reference Sig = u32/u64 via
@@ -33,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.hash import mix2, mix32
-from ..ops.race import RaceResult
+from ..ops.race import RaceResult, sketch_fingerprint
 from .base import SketcherBase
 
 _SLOT_SEED = 0x51075EED
@@ -66,10 +68,11 @@ class SuperMinHashSketcher(SketcherBase):
         v = (race.key >> 24).astype(jnp.float32) + (
             race.key & jnp.uint32(0xFFFFFF)
         ).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
-        # empty slots: deterministic per-slot filler far above any real value
+        # empty slots: genome-DEPENDENT filler far above any real value, so
+        # two sparse genomes never agree on commonly-empty slots
         idx = jnp.arange(self.nb_slots, dtype=jnp.uint32)
-        filler = jnp.float32(1e6) + jnp.arange(self.nb_slots, dtype=jnp.float32)
-        del idx
+        fp = mix32(idx ^ sketch_fingerprint(race), self.seed ^ 0xF111E4)
+        filler = jnp.float32(1e6) + fp.astype(jnp.float32)
         return jnp.where(race.found, v, filler)
 
 
@@ -78,5 +81,5 @@ class SuperMinHash2Sketcher(SuperMinHashSketcher):
 
     def _finalize_race(self, race: RaceResult) -> jnp.ndarray:
         idx = jnp.arange(self.nb_slots, dtype=jnp.uint32)
-        filler = mix32(idx, self.seed ^ 0xBAD5EED5)
+        filler = mix32(idx ^ sketch_fingerprint(race), self.seed ^ 0xBAD5EED5)
         return jnp.where(race.found, race.payload, filler)

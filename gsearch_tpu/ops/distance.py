@@ -190,10 +190,15 @@ def bucketed_knn(q: np.ndarray, db: np.ndarray, knbn: int, impl: str | None = No
         q = _np.concatenate([q, _np.zeros((qb - nq,) + q.shape[1:], q.dtype)], axis=0)
     if nb != n:
         db = _np.concatenate([db, _np.zeros((nb - n,) + db.shape[1:], db.dtype)], axis=0)
+    # the static top_k width derives from the BUCKET (not the live n) so a
+    # growing database reuses one compiled program; pad rows are +inf and
+    # sort last, so slicing restores the exact semantics
+    k_static = min(knbn, nb)
     d, ids = _bucketed_knn_jit(
-        jnp.asarray(q), jnp.asarray(db), jnp.int32(n), knbn=min(knbn, n), impl=impl
+        jnp.asarray(q), jnp.asarray(db), jnp.int32(n), knbn=k_static, impl=impl
     )
-    return _np.asarray(d)[:nq], _np.asarray(ids)[:nq]
+    k_real = min(knbn, n)
+    return _np.asarray(d)[:nq, :k_real], _np.asarray(ids)[:nq, :k_real]
 
 
 @functools.partial(jax.jit, static_argnames=("knbn", "impl"))

@@ -168,6 +168,15 @@ def bucket_min_packed(
     return RaceResult(found=found, key=out, payload=out)
 
 
+def sketch_fingerprint(race: RaceResult) -> jnp.ndarray:
+    """A per-genome scalar (min over found keys) used to make empty-slot
+    fillers genome-DEPENDENT: a genome-independent filler would make two
+    sparse genomes agree on every commonly-empty slot, inflating their
+    similarity.  Keepdims so it broadcasts over the slot axis."""
+    big = jnp.uint32(0xFFFFFFFF)
+    return jnp.min(jnp.where(race.found, race.key, big), axis=-1, keepdims=True)
+
+
 def empty_race(batch_shape: tuple, nb_slots: int) -> RaceResult:
     return RaceResult(
         found=jnp.zeros(batch_shape + (nb_slots,), dtype=jnp.bool_),

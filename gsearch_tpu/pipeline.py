@@ -94,6 +94,11 @@ def _sketch_dir(
                     for codes, fid in file_records_codes(path, is_aa=is_aa, data=data)
                 ]
         for codes, fasta_id, length in units:
+            if length < params.sketch.kmer_size:
+                # no valid k-mer can exist: an empty sketch carries no
+                # signal and must not enter the index
+                log.warning("skipping %s (%s): shorter than k", path, fasta_id)
+                continue
             buf_codes.append(codes)
             buf_bases += len(codes)
             seqdict.push(ItemDict(id=Id(path=path, fasta_id=fasta_id), len=length))

@@ -65,6 +65,25 @@ def test_revcomp_invariance(rng):
         np.testing.assert_array_equal(sig1, sig2, err_msg=str(algo))
 
 
+def test_sparse_genomes_no_spurious_agreement(rng):
+    """Inputs much smaller than the sketch leave most slots empty; the
+    genome-dependent filler must keep unrelated sparse inputs at ~zero
+    agreement (a shared filler previously inflated it to >10%)."""
+    seq_a = random_dna(rng, 2_000)
+    seq_b = random_dna(rng, 2_000)
+    params = SeqSketcherParams(kmer_size=16, sketch_size=4096, algo="SUPER", data_t="DNA")
+    for algo in (SketchAlgo.SUPER, SketchAlgo.PROB3A, SketchAlgo.OPTDENS):
+        p = SeqSketcherParams(kmer_size=16, sketch_size=4096, algo=algo, data_t="DNA")
+        sk = make_sketcher(p)
+        sig_a = sk.sketch_codes(encode_dna(seq_a))
+        sig_b = sk.sketch_codes(encode_dna(seq_b))
+        agree = _slot_agreement(sig_a, sig_b)
+        assert agree < 0.02, f"{algo}: sparse agreement {agree}"
+        # determinism preserved
+        np.testing.assert_array_equal(sig_a, sk.sketch_codes(encode_dna(seq_a)))
+    del params
+
+
 def test_unrelated_genomes_low_agreement(rng):
     seq_a = random_dna(rng, GENOME)
     seq_b = random_dna(rng, GENOME)
