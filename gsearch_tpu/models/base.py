@@ -30,7 +30,8 @@ import numpy as np
 
 from ..core.params import DataType, SeqSketcherParams, SketchAlgo
 from ..ops.kmer import AA_BITS, canonical_dna_windows, kmer_windows
-from ..ops.race import RaceResult, bucket_min, bucket_min_packed, combine_race, empty_race
+from ..ops.race import (RaceResult, bucket_min, bucket_min_packed,
+                        bucket_min_packed_payload, combine_race)
 from ..utils import get_logger
 
 log = get_logger(__name__)
@@ -59,8 +60,10 @@ class SketcherBase:
 
     SIG_DTYPE = np.float32
     # payload-free algorithms can use the packed single-key race (~2x the
-    # sort throughput; see ops/race.py bucket_min_packed)
+    # sort throughput; see ops/race.py bucket_min_packed); payload-carrying
+    # ones can opt into the quantized packed-payload variant
     USE_PACKED_RACE = False
+    USE_PACKED_PAYLOAD_RACE = False
 
     def __init__(self, params: SeqSketcherParams, seed: int = 0x5EED):
         self.params = params
@@ -97,6 +100,10 @@ class SketcherBase:
     def _race(self, slots, keys, payload, dvalid) -> RaceResult:
         if self.USE_PACKED_RACE and payload is None:
             return bucket_min_packed(slots, keys, self.nb_slots, valid=dvalid)
+        if self.USE_PACKED_PAYLOAD_RACE and payload is not None:
+            return bucket_min_packed_payload(
+                slots, keys, payload, self.nb_slots, valid=dvalid
+            )
         return bucket_min(slots, keys, self.nb_slots, payload=payload, valid=dvalid)
 
     # ---- 2-bit host packing (DNA): uploads are the build bottleneck on

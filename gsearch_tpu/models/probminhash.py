@@ -59,6 +59,12 @@ class ProbMinHashSketcher(SketcherBase):
     # whole genomes in one block as far as memory allows. Genomes beyond
     # 8M bases stream with that documented bias (STATUS.md).
     MAX_BLOCK_LOG2 = 23
+    # NOTE: the packed-payload pre-reduce fast path (ops/race.py) is NOT
+    # safe here: its top-K-per-window bound assumes a dart density that
+    # duplication-heavy genomes undercut (valid darts are one per DISTINCT
+    # k-mer), and the scale-invariance test catches the resulting winner
+    # losses. ProbMinHash keeps the exact sort-based race.
+    USE_PACKED_PAYLOAD_RACE = False
 
     def _darts(self, hi, lo, valid):
         # 1. group equal k-mers by sorting (invalid windows to the far end)

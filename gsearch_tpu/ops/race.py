@@ -168,6 +168,87 @@ def bucket_min_packed(
     return RaceResult(found=found, key=out, payload=out)
 
 
+def bucket_min_packed_payload(
+    slots: jnp.ndarray,
+    keys: jnp.ndarray,
+    payload: jnp.ndarray,
+    nb_slots: int,
+    valid: Optional[jnp.ndarray] = None,
+) -> RaceResult:
+    """Payload-carrying variant of the packed race (used by ProbMinHash):
+    the same windowed top-K pre-reduction, with the payload swapped along
+    the key chain, then ONE scatter-min on a word that carries the
+    quantized key in its high bits and the truncated payload in its low
+    bits — the payload low bits double as the deterministic tie-break.
+
+    Costs vs exactness: winner selection quantizes the key to its top
+    (32 - slot_bits) bits (ties broken by payload, identically in every
+    genome), and the recovered payload keeps slot_bits bits (different
+    winners collide with prob 2^-slot_bits per slot — ~6e-5 for s=12000,
+    far below 1/sqrt(S) sketch noise).
+
+    CAVEAT: the windowed pre-reduction's loss bound assumes the VALID dart
+    density ~ the stream length; algorithms whose valid darts are sparse
+    or data-dependent (ProbMinHash emits darts only at distinct-k-mer
+    representatives) can undercut it on duplication-heavy genomes — use
+    the exact sort race there.
+    """
+    slot_bits = max(1, (nb_slots).bit_length())
+    low_mask = np.uint32((1 << slot_bits) - 1)
+    hi_mask = np.uint32(0xFFFFFFFF ^ int(low_mask))
+    slots = slots.astype(jnp.uint32)
+    word = (keys & jnp.uint32(hi_mask)) | slots
+    if valid is not None:
+        word = jnp.where(valid, word, jnp.uint32(0xFFFFFFFF))
+    else:
+        word = jnp.where(slots < nb_slots, word, jnp.uint32(0xFFFFFFFF))
+
+    batch_shape = word.shape[:-1]
+    n = word.shape[-1]
+    w, k = _PR_WINDOW, _PR_KEEP
+    if n % w == 0 and (n // 2) / nb_slots >= 40:
+        sent = jnp.uint32(0xFFFFFFFF)
+        mins = [jnp.full(batch_shape + (n // w,), sent, jnp.uint32) for _ in range(k)]
+        pays = [jnp.zeros(batch_shape + (n // w,), jnp.uint32) for _ in range(k)]
+        for j in range(w):
+            x = word[..., j::w]
+            px = payload[..., j::w]
+            for i in range(k):
+                dup = x == mins[i]
+                smaller = x < mins[i]
+                new_min = jnp.where(smaller, x, mins[i])
+                new_pay = jnp.where(smaller, px, pays[i])
+                x, px = (
+                    jnp.where(dup, sent, jnp.where(smaller, mins[i], x)),
+                    jnp.where(smaller, pays[i], px),
+                )
+                mins[i], pays[i] = new_min, new_pay
+        word = jnp.concatenate(mins, axis=-1)
+        payload = jnp.concatenate(pays, axis=-1)
+
+    sent = jnp.uint32(0xFFFFFFFF)
+    word2 = jnp.where(
+        word == sent, sent, (word & jnp.uint32(hi_mask)) | (payload & jnp.uint32(low_mask))
+    )
+    tgt = (word & jnp.uint32(low_mask)).astype(jnp.int32)
+    nb_pad = 1 << slot_bits
+    init = jnp.full(batch_shape + (nb_pad,), sent, dtype=jnp.uint32)
+    if batch_shape:
+        b = int(np.prod(batch_shape))
+        nn = word.shape[-1]
+        rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, nn))
+        out = init.reshape(b, nb_pad).at[rows, tgt.reshape(b, nn)].min(
+            word2.reshape(b, nn)
+        ).reshape(batch_shape + (nb_pad,))
+    else:
+        out = init.at[tgt].min(word2)
+    out = out[..., :nb_slots]
+    found = out != sent
+    return RaceResult(
+        found=found, key=out & jnp.uint32(hi_mask), payload=out & jnp.uint32(low_mask)
+    )
+
+
 def sketch_fingerprint(race: RaceResult) -> jnp.ndarray:
     """A per-genome scalar (min over found keys) used to make empty-slot
     fillers genome-DEPENDENT: a genome-independent filler would make two
