@@ -125,3 +125,27 @@ def test_add_then_request(corpus):
     q_lines = [l for l in text.splitlines() if l.startswith("query_id:")]
     assert "newbie.fna" in q_lines[0]
     assert "0.00000E0" in q_lines[0]
+
+
+def test_build_with_hnsw_index(corpus, tmp_path):
+    """--index hnsw builds a graph index through the CLI and request
+    reloads it by its self-describing metadata."""
+    import json
+
+    from gsearch_tpu.cli.main import main
+
+    out_db = str(tmp_path / "db_hnsw")
+    rc = main([
+        "tohnsw", "-d", str(corpus["db_dir"]), "-k", str(K), "-s", str(S),
+        "-n", "8", "--ef", "48", "--algo", "optdens", "--block",
+        "--index", "hnsw", "-o", out_db,
+    ])
+    assert rc == 0
+    meta = json.load(open(os.path.join(out_db, "index.meta.json")))
+    assert meta["kind"] == "hnsw"
+    rc = main(["request", "-b", out_db, "-n", "3", "-r", str(corpus["req_dir"]),
+               "-o", str(tmp_path)])
+    assert rc == 0
+    text = open(os.path.join(str(tmp_path), "gsearch.neighbors.txt")).read()
+    q_lines = [l for l in text.splitlines() if l.startswith("query_id:")]
+    assert q_lines and "genome00.fna" in q_lines[0]
