@@ -17,40 +17,86 @@ re-designed for TPU execution rather than translated:
   by *batched multi-query beam search*: every hop expands E beam nodes per
   query, gathers their neighbor ids, de-duplicates against a per-query
   visited ring with vectorized compares (no hash sets), computes distances
-  with the fused equal-count kernel on a signature prefix, and merges via
-  lax.top_k.  All control flow is a fixed-trip fori_loop — XLA-compilable,
-  no data-dependent shapes.
+  on a signature prefix, and merges via lax.top_k.  All control flow is a
+  fixed-trip scan — XLA-compilable, no data-dependent shapes.
 * Search runs on a signature *prefix* (slots are iid Jaccard estimators, so
-  a prefix is just a smaller sketch); the final beam is re-ranked against
-  full signatures.  This cuts traversal gather bandwidth ~S/prefix times.
+  a prefix is just a smaller sketch); the top candidates are re-ranked
+  against full signatures (on device when they fit in HBM, on host
+  otherwise).  This cuts traversal gather bandwidth ~S/prefix times.
 
-Construction is layer-free batched insertion: each batch is beam-searched
-against the current graph on device, links are selected host-side
-(top-M by distance + reverse links with pruning), and the device copy of
-the neighbor array is refreshed.  Batch-mates are eligible neighbors via an
-extra dense B x B distance block, so dense duplicate groups still connect.
+Construction is layer-free batched insertion with ALL graph state resident
+on device for the whole build (uploads per batch are the new prefix rows +
+a few MB of link updates — the full signature matrix never round-trips):
+
+  jit A (_insert_search): beam-search the current graph for each batch
+      member, merge batch-mates in as candidates via a dense block, compute
+      the candidate pairwise-distance block, and run the batched
+      SELECT-NEIGHBORS-HEURISTIC (the reference enables the
+      extend-candidates flavor, dnasketch.rs:159) — returns [B, C] id /
+      distance / keep arrays.
+  host: vectorized forward-link selection (kept-first stable ordering) and
+      reverse-link grouping (sort triples by target, cap incoming per
+      target) — pure numpy, no per-row Python loops.
+  jit B (_insert_apply): writes the new neighbor rows and merges reverse
+      links into their targets (gather rows -> concat incoming -> top-M0 by
+      cached link distance -> scatter rows back).
+
+Per-link distances are cached in a [N, M0] array (device during build,
+persisted in the graph file) so reverse-link pruning never recomputes
+signature distances — the reference's insert recomputes them per link
+(hnsw_rs's point-distance calls); here that would be a gather storm.
 """
 
 from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.distance import hamming_frac
 from ..utils import get_logger
 
 log = get_logger(__name__)
 
 _PAD = -1  # host-side padding for absent neighbors
 
+# device full-signature rerank is used when the whole signature matrix fits
+# in this many bytes of HBM (v5e: 16 GB minus prefix + graph + workspace)
+_RERANK_DEVICE_BYTES = int(os.environ.get("GSEARCH_TPU_RERANK_DEVICE_BYTES", 13_000_000_000))
+
+
+def _next_pow2(n: int, floor: int = 16) -> int:
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _as_u32(x: np.ndarray) -> np.ndarray:
+    """Bit-pattern view so one compare kernel serves f32/u32/u16/i32 sigs."""
+    if x.dtype == np.float32:
+        return x.view(np.uint32)
+    if x.dtype in (np.uint32, np.int32):
+        return x.view(np.uint32)
+    return x.astype(np.uint32)
+
 
 class HnswIndex:
     KIND = "hnsw"
+
+    #: search-time beam width when the caller does not pass ef_search.
+    #: Chosen from the measured qps/recall curve on TPU (see STATUS.md).
+    DEFAULT_EF = 256
+    #: beam nodes expanded per hop (E); hops scale as ef / E.
+    EXPAND = 4
 
     def __init__(
         self,
@@ -71,8 +117,10 @@ class HnswIndex:
         self.search_prefix = min(search_prefix, sketch_size)
         self._sigs = np.empty((0, sketch_size), dtype=self.sig_dtype)
         self._nbrs = np.empty((0, self.m0), dtype=np.int32)
+        self._nbr_d = np.empty((0, self.m0), dtype=np.float32)
         self._entry_ids = np.empty((0,), dtype=np.int32)
-        self._device = None  # (sigs_prefix+pad, sigs_full+pad, nbrs+pad, entries)
+        self._device = None       # (sigs_p, nbrs_p, entries) for search
+        self._device_full = None  # [nb+1, S] full sigs for device rerank
 
     # ------------------------------------------------------------------ basics
 
@@ -94,203 +142,271 @@ class HnswIndex:
         base = math.sqrt(n) / max(self.scale_modification, 0.2)
         return int(min(n, max(16, base)))
 
-    def _refresh_entries(self) -> None:
-        n = self.nb_points
+    def _entries_for(self, n: int) -> np.ndarray:
         t = self._entry_tier_size(n)
         if t == 0:
-            self._entry_ids = np.empty((0,), dtype=np.int32)
-            return
+            return np.empty((0,), dtype=np.int32)
         # deterministic low-discrepancy sample over insertion order
         step = max(1, n // t)
-        self._entry_ids = np.arange(0, n, step, dtype=np.int32)[:t]
+        return np.arange(0, n, step, dtype=np.int32)[:t]
 
-    # ------------------------------------------------------------------ device
-
-    def _device_arrays(self):
-        if self._device is None:
-            n = self.nb_points
-            # pad the point dimension to a power-of-two bucket so the
-            # growing graph (every insert batch, every `add`) reuses a
-            # handful of compiled beam-search programs — remote compiles
-            # cost seconds to minutes each. Pad rows are sentinels: their
-            # neighbor lists point at the sentinel row and their sigs are
-            # never reachable (no real node links to them).
-            nb = 16
-            while nb < n:
-                nb <<= 1
-            sp = self.search_prefix
-            sigs_p = np.zeros((nb + 1, sp), self.sig_dtype)
-            sigs_p[:n] = self._sigs[:, :sp]
-            sigs_full = np.zeros((nb, self._sigs.shape[1]), self.sig_dtype)
-            sigs_full[:n] = self._sigs
-            nbrs = np.where(self._nbrs == _PAD, nb, self._nbrs).astype(np.int32)
-            nbrs_p = np.full((nb + 1, self.m0), nb, np.int32)
-            nbrs_p[:n] = nbrs
-            t = len(self._entry_ids)
-            tb = 16
-            while tb < t:
-                tb <<= 1
-            entries = np.full(tb, nb, np.int32)
-            entries[:t] = self._entry_ids
-            self._device = (
-                jnp.asarray(sigs_p),
-                jnp.asarray(sigs_full),
-                jnp.asarray(nbrs_p),
-                jnp.asarray(entries),
-            )
-        return self._device
-
-    # ------------------------------------------------------------------ search
-
-    def search(
-        self, queries: np.ndarray, knbn: int, ef_search: int = 0
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Batched k-NN: entry tier (exact) -> beam search -> full-sig rerank.
-
-        Returns (distances [Q, k], ids [Q, k]); parity with
-        hnsw_rs parallel_search (dnarequest.rs:353)."""
-        n = self.nb_points
-        if n == 0:
-            q = queries.shape[0]
-            return np.full((q, 0), np.inf, np.float32), np.zeros((q, 0), np.int32)
-        knbn = min(knbn, n)
-        sigs_p, sigs_full, nbrs_p, entries = self._device_arrays()
-        q_dev = jnp.asarray(queries.astype(self.sig_dtype))
-
-        if n <= 2048 or len(self._entry_ids) >= n:
-            # tiny database: the entry tier is the whole database
-            from ..ops.distance import bucketed_knn
-
-            d, ids = bucketed_knn(queries.astype(self.sig_dtype), self._sigs, knbn)
-            return d, ids
-
-        # derive every static knob from the PADDED bucket so the growing
-        # graph reuses compiled programs across insert batches / adds
-        nb = sigs_full.shape[0]
-        ef = max(ef_search or 64, knbn)
-        ef_round = _round_up(min(ef, nb), 64)
-        hops = max(8, int(2 * math.log2(nb)) + ef_round // 32)
-        d, ids = _beam_search_jit(
-            sigs_p,
-            sigs_full,
-            nbrs_p,
-            entries,
-            q_dev[:, : self.search_prefix],
-            q_dev,
-            ef=ef_round,
-            knbn=knbn,
-            hops=hops,
-            expand=2,
-        )
-        return np.asarray(d), np.asarray(ids)
+    def _refresh_entries(self) -> None:
+        self._entry_ids = self._entries_for(self.nb_points)
 
     # ------------------------------------------------------------------ build
 
     def insert(self, sigs: np.ndarray, batch_size: int = 1024) -> None:
         """Batched graph construction (role of parallel_insert,
-        dnasketch.rs:426-436)."""
-        sigs = sigs.astype(self.sig_dtype)
-        for start in range(0, sigs.shape[0], batch_size):
-            self._insert_batch(sigs[start : start + batch_size])
-        self._refresh_entries()
-        self._device = None
-
-    def _insert_batch(self, batch: np.ndarray) -> None:
-        b = batch.shape[0]
-        n = self.nb_points
-        m = self.max_nb_conn
-        new_nbrs = np.full((b, self.m0), _PAD, dtype=np.int32)
-
-        # candidates from the existing graph
-        if n > 0:
-            efc = min(self.ef_construction, max(n, 1))
-            cand_d, cand_ids = self.search(batch, knbn=min(efc, n), ef_search=efc)
-        else:
-            cand_d = np.empty((b, 0), np.float32)
-            cand_ids = np.empty((b, 0), np.int32)
-
-        # batch-mates as candidates (B x B dense block on device)
-        if b > 1:
-            bb = np.array(hamming_frac(jnp.asarray(batch), jnp.asarray(batch)))
-            np.fill_diagonal(bb, np.inf)
-            mate_ids = np.argsort(bb, axis=1)[:, : min(m, b - 1)]
-            mate_d = np.take_along_axis(bb, mate_ids, axis=1)
-            # only mates that precede the node keep insertion-order semantics,
-            # but links are symmetric anyway; merge into candidate lists
-            cand_d = np.concatenate([cand_d, mate_d.astype(np.float32)], axis=1)
-            cand_ids = np.concatenate([cand_ids, (mate_ids + n).astype(np.int32)], axis=1)
-
-        order = np.argsort(cand_d, axis=1)
-        cand_d = np.take_along_axis(cand_d, order, axis=1)
-        cand_ids = np.take_along_axis(cand_ids, order, axis=1)
-
-        # grow arrays
-        self._sigs = np.concatenate([self._sigs, batch], axis=0)
-        self._nbrs = np.concatenate([self._nbrs, new_nbrs], axis=0)
-
-        # neighbor-diversification heuristic over the nearest candidates
-        # (Malkov SELECT-NEIGHBORS-HEURISTIC; the reference enables the
-        # extend-candidates flavor, dnasketch.rs:159): keep candidate c only
-        # if it is closer to the new node than to every kept neighbor —
-        # computed as one batched pairwise-distance block on device
-        ncand = min(cand_ids.shape[1], 2 * self.m0)
-        if ncand > 2:
-            keep_mask = np.asarray(
-                _select_heuristic_jit(
-                    jnp.asarray(batch),
-                    jnp.asarray(self._sigs[np.clip(cand_ids[:, :ncand], 0, self.nb_points - 1)]),
-                    jnp.asarray(cand_d[:, :ncand]),
-                )
-            )
-        else:
-            keep_mask = np.isfinite(cand_d[:, :ncand])
-
-        take = min(self.m0, ncand)
-        for i in range(b):
-            good = keep_mask[i] & np.isfinite(cand_d[i, :ncand])
-            ids_i = cand_ids[i, :ncand][good][:take]
-            # backfill with nearest non-kept candidates (keeping_pruned
-            # spirit, but only to fill spare degree)
-            if len(ids_i) < take:
-                rest = cand_ids[i, :ncand][~good]
-                rest = rest[np.isfinite(cand_d[i, :ncand][~good])]
-                ids_i = np.concatenate([ids_i, rest[: take - len(ids_i)]])
-            self._nbrs[n + i, : len(ids_i)] = ids_i
-
-        # reverse links with pruning: new node becomes a neighbor of its
-        # targets; overfull targets drop their farthest link
-        if cand_ids.shape[1] > 0:
-            for i in range(b):
-                me = n + i
-                for tgt, d in zip(cand_ids[i, :m], cand_d[i, :m]):
-                    if not np.isfinite(d) or tgt >= me:
-                        continue
-                    self._add_reverse_link(int(tgt), me, float(d))
-
-        self._refresh_entries()
-        self._device = None
-
-    def _add_reverse_link(self, tgt: int, me: int, dist: float) -> None:
-        row = self._nbrs[tgt]
-        free = np.where(row == _PAD)[0]
-        if len(free):
-            row[free[0]] = me
+        dnasketch.rs:426-436).  All graph state stays on device across the
+        whole call; only candidate lists and link updates cross the relay."""
+        sigs = np.ascontiguousarray(sigs, dtype=self.sig_dtype)
+        m = sigs.shape[0]
+        if m == 0:
             return
-        # full: replace the farthest existing link if we are closer
-        tgt_sig = self._sigs[tgt]
-        cur = row.astype(np.int64)
-        cur_d = (self._sigs[cur] != tgt_sig[None, :]).mean(axis=1)
-        worst = int(np.argmax(cur_d))
-        if cur_d[worst] > dist:
-            row[worst] = me
+        n0 = self.nb_points
+        n_total = n0 + m
+        B = min(_next_pow2(max(batch_size, 64)), _next_pow2(m))
+        cap = _next_pow2(n_total)
+        sent = cap + B  # sentinel row index; pad-batch rows live in [cap, sent)
+        sp = self.search_prefix
+        m0 = self.m0
+        mmax = self.max_nb_conn
+
+        # static knobs, derived from the CAPACITY so every batch of this
+        # call (and any same-bucket later call) reuses one compiled program
+        ef_build = _round_up(min(max(self.ef_construction, 64), max(2 * m0, 64), cap), 64)
+        C = min(_round_up(min(2 * m0, ef_build + B), 32), ef_build + B)
+        expand = self.EXPAND
+        hops = max(4, int(2 * math.log2(cap)) + ef_build // (2 * expand))
+        tb = _next_pow2(max(self._entry_tier_size(sent), 16))
+        rin = 4  # incoming reverse links kept per target per batch
+
+        # --- device-resident build state ------------------------------------
+        sigs_p = np.full((sent + 1, sp), 0xFFFFFFFF, np.uint32)
+        sigs_p[:n0] = _as_u32(self._sigs[:, :sp])
+        nbrs = np.full((sent + 1, m0), sent, np.int32)
+        if n0:
+            nbrs[:n0] = np.where(self._nbrs == _PAD, sent, self._nbrs)
+        nbr_d = np.full((sent + 1, m0), np.inf, np.float32)
+        if n0:
+            self._ensure_nbr_d()
+            nbr_d[:n0] = self._nbr_d
+        d_sigs = jnp.asarray(sigs_p)
+        d_nbrs = jnp.asarray(nbrs)
+        d_nbrd = jnp.asarray(nbr_d)
+        del sigs_p, nbrs, nbr_d
+
+        sigs_u32 = _as_u32(sigs[:, :sp])
+        n = n0
+        for start in range(0, m, B):
+            b_real = min(B, m - start)
+            q_p = np.full((B, sp), 0xFFFFFFFF, np.uint32)
+            q_p[:b_real] = sigs_u32[start : start + b_real]
+            entries = np.full(tb, sent, np.int32)
+            e = self._entries_for(n)
+            entries[: len(e)] = e
+
+            d_sigs, cand_ids, cand_d, keep = _insert_search(
+                d_sigs, d_nbrs, jnp.asarray(entries), jnp.asarray(q_p), jnp.int32(n),
+                ef=ef_build, C=C, hops=hops, expand=expand,
+            )
+            cand_ids = np.asarray(cand_ids)
+            cand_d = np.array(cand_d)  # writable copy (pad-mates masked below)
+            keep = np.asarray(keep)
+
+            # ---- host: vectorized forward-link selection -------------------
+            # invalidate pad-mates (ids beyond the live batch) and self refs
+            off = cand_ids >= n + b_real
+            cand_d[off] = np.inf
+            finite = np.isfinite(cand_d)
+            good = keep & finite
+            # stable order: heuristic-kept first, then pruned-but-finite
+            # (keeping_pruned spirit — only to fill spare degree), inf last;
+            # within each class the top-C distance order is preserved
+            cls = (~good).astype(np.int8) + (~finite).astype(np.int8)
+            order = np.argsort(cls, axis=1, kind="stable")
+            rows_ids = np.take_along_axis(cand_ids, order, axis=1)[:, :m0]
+            rows_d = np.take_along_axis(cand_d, order, axis=1)[:, :m0].astype(np.float32)
+            rows_ok = np.take_along_axis(finite, order, axis=1)[:, :m0]
+            rows_ids = np.where(rows_ok, rows_ids, sent).astype(np.int32)
+            rows_d = np.where(rows_ok, rows_d, np.inf).astype(np.float32)
+            if b_real < B:
+                rows_ids[b_real:] = sent
+                rows_d[b_real:] = np.inf
+            if rows_ids.shape[1] < m0:
+                padc = m0 - rows_ids.shape[1]
+                rows_ids = np.pad(rows_ids, ((0, 0), (0, padc)), constant_values=sent)
+                rows_d = np.pad(rows_d, ((0, 0), (0, padc)), constant_values=np.inf)
+
+            # ---- host: reverse-link grouping (sorted triples, capped) ------
+            me = (n + np.arange(B, dtype=np.int32))[:, None]
+            valid = (rows_ids != sent) & (me < n + b_real)
+            # reverse only the closest `max_nb_conn` forward links (layer-0
+            # reverse degree pressure control, matching hnsw_rs's m)
+            valid[:, mmax:] = False
+            tgt = rows_ids[valid]
+            src = np.broadcast_to(me, rows_ids.shape)[valid]
+            dd = rows_d[valid]
+            ub = B * mmax
+            inc_tgt = np.full(ub, sent, np.int32)
+            inc_ids = np.full((ub, rin), sent, np.int32)
+            inc_d = np.full((ub, rin), np.inf, np.float32)
+            if tgt.size:
+                o = np.lexsort((dd, tgt))
+                tgt, src, dd = tgt[o], src[o], dd[o]
+                first = np.empty(len(tgt), bool)
+                first[0] = True
+                np.not_equal(tgt[1:], tgt[:-1], out=first[1:])
+                seg = np.cumsum(first) - 1
+                seg_start = np.flatnonzero(first)
+                rank = np.arange(len(tgt)) - seg_start[seg]
+                sel = rank < rin
+                u = int(seg[-1]) + 1
+                inc_tgt[:u] = tgt[first]
+                inc_ids[seg[sel], rank[sel]] = src[sel]
+                inc_d[seg[sel], rank[sel]] = dd[sel]
+
+            d_nbrs, d_nbrd = _insert_apply(
+                d_nbrs, d_nbrd,
+                jnp.asarray(rows_ids), jnp.asarray(rows_d), jnp.int32(n),
+                jnp.asarray(inc_tgt), jnp.asarray(inc_ids), jnp.asarray(inc_d),
+            )
+            n += b_real
+
+        # ---- sync host mirrors, free device build state ---------------------
+        nbrs_h = np.asarray(d_nbrs)[:n_total]
+        nbrd_h = np.asarray(d_nbrd)[:n_total]
+        self._nbrs = np.where(nbrs_h >= n_total, _PAD, nbrs_h).astype(np.int32)
+        self._nbr_d = np.where(nbrs_h >= n_total, np.inf, nbrd_h).astype(np.float32)
+        self._sigs = np.concatenate([self._sigs, sigs], axis=0)
+        del d_sigs, d_nbrs, d_nbrd
+        self._refresh_entries()
+        self._device = None
+        self._device_full = None
+
+    def _ensure_nbr_d(self) -> None:
+        """Backfill cached link distances (prefix metric) for graphs loaded
+        from dumps that predate the cache."""
+        n = self.nb_points
+        if self._nbr_d.shape[0] == n:
+            return
+        log.warning("recomputing %d cached link distances (old dump format)", n)
+        sp = self.search_prefix
+        sigs = _as_u32(self._sigs[:, :sp])
+        out = np.full((n, self.m0), np.inf, np.float32)
+        for s in range(0, n, 4096):
+            e = min(n, s + 4096)
+            ids = self._nbrs[s:e]
+            ok = ids != _PAD
+            rows = sigs[np.clip(ids, 0, n - 1)]
+            eq = (rows == sigs[s:e, None, :]).sum(-1)
+            d = 1.0 - eq / np.float32(sp)
+            out[s:e] = np.where(ok, d, np.inf)
+        self._nbr_d = out
+
+    # ------------------------------------------------------------------ search
+
+    def _device_arrays(self):
+        if self._device is None:
+            n = self.nb_points
+            nb = _next_pow2(n)
+            sp = self.search_prefix
+            sigs_p = np.full((nb + 1, sp), 0xFFFFFFFF, np.uint32)
+            sigs_p[:n] = _as_u32(self._sigs[:, :sp])
+            nbrs_p = np.full((nb + 1, self.m0), nb, np.int32)
+            nbrs_p[:n] = np.where(self._nbrs == _PAD, nb, self._nbrs)
+            t = len(self._entry_ids)
+            entries = np.full(_next_pow2(max(t, 16)), nb, np.int32)
+            entries[:t] = self._entry_ids
+            self._device = (jnp.asarray(sigs_p), jnp.asarray(nbrs_p), jnp.asarray(entries))
+        return self._device
+
+    def _device_full_sigs(self):
+        if self._device_full is None:
+            n = self.nb_points
+            nb = _next_pow2(n)
+            full = np.zeros((nb + 1, self.sketch_size), np.uint32)
+            full[:n] = _as_u32(self._sigs)
+            self._device_full = jnp.asarray(full)
+        return self._device_full
+
+    def search(
+        self, queries: np.ndarray, knbn: int, ef_search: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched k-NN: entry tier (exact) -> beam search on the signature
+        prefix -> full-signature rerank of the top candidates.
+
+        Returns (distances [Q, k], ids [Q, k]); parity with
+        hnsw_rs parallel_search (dnarequest.rs:353)."""
+        n = self.nb_points
+        nq = queries.shape[0]
+        if n == 0:
+            return np.full((nq, 0), np.inf, np.float32), np.zeros((nq, 0), np.int32)
+        knbn = min(knbn, n)
+        queries = np.ascontiguousarray(queries, dtype=self.sig_dtype)
+
+        if n <= 2048 or len(self._entry_ids) >= n:
+            # tiny database: the entry tier is the whole database
+            from ..ops.distance import bucketed_knn
+
+            return bucketed_knn(queries, self._sigs, knbn)
+
+        sigs_p, nbrs_p, entries = self._device_arrays()
+        nb = sigs_p.shape[0] - 1
+        sp = self.search_prefix
+        qb = _next_pow2(nq, floor=8)
+        q_p = np.full((qb, sp), 0xFFFFFFFF, np.uint32)
+        q_p[:nq] = _as_u32(queries[:, :sp])
+
+        ef = max(ef_search or self.DEFAULT_EF, knbn)
+        ef_round = _round_up(min(ef, nb), 64)
+        expand = self.EXPAND
+        hops = max(8, int(2 * math.log2(nb)) + ef_round // expand)
+        no_rerank = sp >= self.sketch_size
+        r = knbn if no_rerank else min(_round_up(max(4 * knbn, 32), 8), ef_round)
+
+        dp, ids = _graph_search(
+            sigs_p, nbrs_p, entries, jnp.asarray(q_p), jnp.int32(n),
+            ef=ef_round, r=r, hops=hops, expand=expand,
+        )
+        if no_rerank:
+            return np.asarray(dp)[:nq], np.asarray(ids)[:nq]
+
+        full_bytes = (_next_pow2(n) + 1) * self.sketch_size * 4
+        if full_bytes <= _RERANK_DEVICE_BYTES:
+            q_full = np.zeros((qb, self.sketch_size), np.uint32)
+            q_full[:nq] = _as_u32(queries)
+            d, ids2 = _rerank_device(
+                self._device_full_sigs(), jnp.asarray(q_full), ids, jnp.int32(n),
+                knbn=knbn, s_true=self.sketch_size,
+            )
+            return np.asarray(d)[:nq], np.asarray(ids2)[:nq]
+
+        # host rerank: numpy gather from the resident signature matrix
+        ids_h = np.asarray(ids)[:nq]
+        qs = _as_u32(queries)
+        sigs = _as_u32(self._sigs)
+        rows = sigs[np.clip(ids_h, 0, n - 1)]  # [nq, R, S]
+        eq = (rows == qs[:, None, :]).sum(-1)
+        d = (1.0 - eq / np.float32(self.sketch_size)).astype(np.float32)
+        d[ids_h >= n] = np.inf
+        sel = np.argpartition(d, knbn - 1, axis=1)[:, :knbn]
+        dsel = np.take_along_axis(d, sel, axis=1)
+        o = np.argsort(dsel, axis=1, kind="stable")
+        return (
+            np.take_along_axis(dsel, o, axis=1),
+            np.take_along_axis(np.take_along_axis(ids_h, sel, axis=1), o, axis=1),
+        )
 
     # ------------------------------------------------------------------ io
 
     def save_arrays(self, prefix: str) -> dict:
         np.save(prefix + ".sigs.npy", self._sigs)
+        self._ensure_nbr_d()
         np.savez(
             prefix + ".graph.npz",
             nbrs=self._nbrs,
+            nbr_d=self._nbr_d,
             entry_ids=self._entry_ids,
         )
         return {
@@ -314,31 +430,149 @@ class HnswIndex:
         )
         idx._sigs = sigs
         idx._nbrs = g["nbrs"]
+        if "nbr_d" in g:
+            idx._nbr_d = g["nbr_d"]
         idx._entry_ids = g["entry_ids"]
         return idx
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+# ---------------------------------------------------------------------------
+# traced building blocks
+# ---------------------------------------------------------------------------
 
 
-@jax.jit
-def _select_heuristic_jit(node_sigs, cand_sigs, cand_d):
-    """Batched SELECT-NEIGHBORS-HEURISTIC.
+def _prefix_dist(rows: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """rows [..., S'], q broadcastable -> fraction of differing slots."""
+    sp = rows.shape[-1]
+    eq = (rows == q).sum(axis=-1).astype(jnp.float32)
+    return 1.0 - eq / jnp.float32(sp)
 
-    node_sigs [B, S]; cand_sigs [B, C, S] (distance-sorted); cand_d [B, C].
-    Candidate j survives iff d(node, j) < d(j, k) for every already-kept k —
-    the greedy diversification that keeps graph edges spread across
-    directions. One pairwise equal-count block + a lax.scan over C."""
-    s = node_sigs.shape[-1]
 
-    def view(x):
-        return x.view(jnp.uint32) if x.dtype == jnp.float32 else x
+def _beam(sigs_p, nbrs_p, entries, q_p, n, *, ef, hops, expand):
+    """Batched beam search over the flat neighbor array.
 
-    cs = view(cand_sigs)
-    eq = (cs[:, :, None, :] == cs[:, None, :, :]).sum(-1).astype(jnp.float32)
-    pair_d = 1.0 - eq / jnp.float32(s)  # [B, C, C]
-    b, c = cand_d.shape
+    sigs_p [NB+1, S'] u32 (sentinel last), nbrs_p [NB+1, M0] i32 (sentinel
+    id = NB or more), entries [T] i32 (sentinel-padded), q_p [Q, S'] u32,
+    n traced live count.  Returns (beam_ids [Q, ef] i32, beam_d [Q, ef]
+    f32) sorted ascending by prefix distance."""
+    qn = q_p.shape[0]
+    m0 = nbrs_p.shape[1]
+    sent = sigs_p.shape[0] - 1
+    big = jnp.float32(jnp.inf)
+
+    # ---- entry tier: exact prefix distances to the sampled entries
+    ent_sigs = jnp.take(sigs_p, entries, axis=0)  # [T, S']
+    d_ent = _prefix_dist(ent_sigs[None, :, :], q_p[:, None, :])  # [Q, T]
+    d_ent = jnp.where((entries < n)[None, :], d_ent, big)
+    k0 = min(ef, entries.shape[0])
+    neg, idx = jax.lax.top_k(-d_ent, k0)
+    beam_ids = jnp.take(entries, idx, axis=0).astype(jnp.int32)
+    beam_d = -neg
+    if k0 < ef:
+        pad = ef - k0
+        beam_ids = jnp.concatenate(
+            [beam_ids, jnp.full((qn, pad), sent, jnp.int32)], axis=1)
+        beam_d = jnp.concatenate([beam_d, jnp.full((qn, pad), big)], axis=1)
+    expanded = (beam_ids >= n) | ~jnp.isfinite(beam_d)
+
+    # visited ring: everything ever scored; wraparound (re-scoring) is
+    # rare with this size and costs only wasted work, never correctness
+    vis_size = _round_up(min(ef + hops * expand * m0, 4096), 128)
+    ring = jnp.full((qn, vis_size), sent, jnp.int32)
+    ring = jax.lax.dynamic_update_slice(ring, beam_ids, (0, 0))
+    ring_pos = jnp.int32(ef % max(vis_size - expand * m0, 1))
+
+    rc = min(2048, vis_size)  # ring-compare chunk (bounds the bool buffer)
+
+    def hop(state, _):
+        beam_ids, beam_d, expanded, ring, ring_pos = state
+        sel_d = jnp.where(expanded, big, beam_d)
+        _, sel = jax.lax.top_k(-sel_d, expand)  # [Q, E] beam positions
+        sel_ids = jnp.take_along_axis(beam_ids, sel, axis=1)
+        onehot = jnp.zeros_like(expanded).at[jnp.arange(qn)[:, None], sel].set(True)
+        expanded = expanded | onehot
+
+        cand = jnp.take(nbrs_p, sel_ids, axis=0).reshape(qn, expand * m0)
+
+        # de-dup: ring (chunked compares), live beam, within-block
+        def ring_chunk(c, seen):
+            rg = jax.lax.dynamic_slice_in_dim(ring, c * rc, rc, axis=1)
+            return seen | (cand[:, :, None] == rg[:, None, :]).any(-1)
+
+        seen = jax.lax.fori_loop(
+            0, vis_size // rc, ring_chunk,
+            jnp.zeros((qn, expand * m0), jnp.bool_))
+        in_beam = (cand[:, :, None] == beam_ids[:, None, :]).any(-1)
+        occ = (cand[:, :, None] == cand[:, None, :]).astype(jnp.int32)
+        is_dup = jnp.cumsum(occ, axis=-1).diagonal(axis1=1, axis2=2) > 1
+        fresh = ~seen & ~in_beam & ~is_dup & (cand < n)
+        cand = jnp.where(fresh, cand, sent)
+
+        rows = jnp.take(sigs_p, cand, axis=0)  # [Q, E*M0, S']
+        cd = _prefix_dist(rows, q_p[:, None, :])
+        cd = jnp.where(fresh, cd, big)
+
+        all_ids = jnp.concatenate([beam_ids, cand], axis=1)
+        all_d = jnp.concatenate([beam_d, cd], axis=1)
+        all_x = jnp.concatenate([expanded, ~fresh], axis=1)
+        negd, keepk = jax.lax.top_k(-all_d, ef)
+        beam_ids = jnp.take_along_axis(all_ids, keepk, axis=1)
+        beam_d = -negd
+        expanded = jnp.take_along_axis(all_x, keepk, axis=1)
+
+        ring = jax.lax.dynamic_update_slice(ring, cand, (0, ring_pos))
+        ring_pos = (ring_pos + expand * m0) % jnp.int32(max(vis_size - expand * m0, 1))
+        return (beam_ids, beam_d, expanded, ring, ring_pos), None
+
+    (beam_ids, beam_d, *_), _ = jax.lax.scan(
+        hop, (beam_ids, beam_d, expanded, ring, ring_pos), None, length=hops
+    )
+    return beam_ids, beam_d
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef", "C", "hops", "expand"), donate_argnums=(0,)
+)
+def _insert_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, C, hops, expand):
+    """Build-time candidate generation for one insert batch.
+
+    Writes the batch prefix sigs at row n (so batch-mates are gatherable),
+    beam-searches the existing graph, merges the dense batch-mate block,
+    takes the top-C candidates and runs the select-neighbors heuristic.
+    Returns (sigs_p', cand_ids [B, C], cand_d [B, C], keep [B, C])."""
+    B, sp = q_p.shape
+    sigs_p = jax.lax.dynamic_update_slice(sigs_p, q_p, (n, jnp.int32(0)))
+
+    beam_ids, beam_d = _beam(
+        sigs_p, nbrs_p, entries, q_p, n, ef=ef, hops=hops, expand=expand)
+
+    # ---- batch-mates as candidates: dense [B, B] prefix-distance block
+    mc = min(64, B)
+
+    def mate_chunk(j):
+        qc = jax.lax.dynamic_slice_in_dim(q_p, j * mc, mc, axis=0)
+        return _prefix_dist(qc[None, :, :], q_p[:, None, :])  # [B, mc]
+
+    d_m = jax.lax.map(mate_chunk, jnp.arange(B // mc))  # [B/mc, B, mc]
+    d_m = jnp.moveaxis(d_m, 0, 1).reshape(B, B)
+    d_m = jnp.where(jnp.eye(B, dtype=bool), jnp.inf, d_m)
+    mate_ids = n + jnp.arange(B, dtype=jnp.int32)
+
+    all_ids = jnp.concatenate([beam_ids, jnp.broadcast_to(mate_ids, (B, B))], axis=1)
+    all_d = jnp.concatenate([beam_d, d_m], axis=1)
+    negd, sel = jax.lax.top_k(-all_d, C)
+    cand_ids = jnp.take_along_axis(all_ids, sel, axis=1)
+    cand_d = -negd
+
+    # ---- candidate pairwise block + select heuristic
+    cs = jnp.take(sigs_p, jnp.where(jnp.isfinite(cand_d), cand_ids, 0), axis=0)
+
+    def pcol(j, acc):
+        cj = jax.lax.dynamic_slice_in_dim(cs, j, 1, axis=1)  # [B, 1, S']
+        dj = _prefix_dist(cs, cj)  # [B, C]
+        return jax.lax.dynamic_update_slice(acc, dj[:, :, None], (0, 0, j))
+
+    pair_d = jax.lax.fori_loop(0, C, pcol, jnp.zeros((B, C, C), jnp.float32))
 
     def step(kept, j):
         # candidate j survives if closer to the node than to every kept one
@@ -346,114 +580,65 @@ def _select_heuristic_jit(node_sigs, cand_sigs, cand_d):
         ok = cand_d[:, j] < jnp.min(d_to_kept, axis=-1)
         ok = ok & jnp.isfinite(cand_d[:, j])
         kept = kept.at[:, j].set(ok)
-        return kept, ok
+        return kept, None
 
-    kept0 = jnp.zeros((b, c), dtype=jnp.bool_).at[:, 0].set(jnp.isfinite(cand_d[:, 0]))
-    kept, _ = jax.lax.scan(step, kept0, jnp.arange(1, c))
-    return kept
-
-
-# ---------------------------------------------------------------------------
-# the jitted batched beam search
-# ---------------------------------------------------------------------------
+    kept0 = jnp.zeros((B, C), bool).at[:, 0].set(jnp.isfinite(cand_d[:, 0]))
+    keep, _ = jax.lax.scan(step, kept0, jnp.arange(1, C))
+    return sigs_p, cand_ids, cand_d, keep
 
 
-def _eq_dist_rows(sigs_p: jnp.ndarray, q: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """Distances from each query to a per-query id list.
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _insert_apply(nbrs_p, nbr_d, rows_ids, rows_d, n, inc_tgt, inc_ids, inc_d):
+    """Write the batch's forward rows at n and merge reverse links into
+    their (unique) targets by cached link distance."""
+    nbrs_p = jax.lax.dynamic_update_slice(nbrs_p, rows_ids, (n, jnp.int32(0)))
+    nbr_d = jax.lax.dynamic_update_slice(nbr_d, rows_d, (n, jnp.int32(0)))
 
-    sigs_p: [N+1, S'], q: [Q, S'], ids: [Q, C] -> [Q, C] f32."""
-    rows = jnp.take(sigs_p, ids, axis=0)  # [Q, C, S']
-    eq = (rows == q[:, None, :]).sum(axis=-1).astype(jnp.float32)
-    return 1.0 - eq / jnp.float32(q.shape[-1])
+    ex_ids = jnp.take(nbrs_p, inc_tgt, axis=0)  # [U, M0]
+    ex_d = jnp.take(nbr_d, inc_tgt, axis=0)
+    # drop incoming links already present (batch-mate forward duplicates)
+    dup = (inc_ids[:, :, None] == ex_ids[:, None, :]).any(-1)
+    inc_d = jnp.where(dup, jnp.inf, inc_d)
+    comb_ids = jnp.concatenate([ex_ids, inc_ids], axis=1)
+    comb_d = jnp.concatenate([ex_d, inc_d], axis=1)
+    neg, sel = jax.lax.top_k(-comb_d, nbrs_p.shape[1])
+    merged_ids = jnp.take_along_axis(comb_ids, sel, axis=1)
+    merged_ids = jnp.where(jnp.isfinite(-neg), merged_ids, nbrs_p.shape[0] - 1)
+    nbrs_p = nbrs_p.at[inc_tgt].set(merged_ids)
+    nbr_d = nbr_d.at[inc_tgt].set(-neg)
+    return nbrs_p, nbr_d
 
 
-@functools.partial(jax.jit, static_argnames=("ef", "knbn", "hops", "expand"))
-def _beam_search_jit(
-    sigs_p, sigs_full, nbrs_p, entries, q_prefix, q_full, *, ef, knbn, hops, expand
-):
-    qn = q_prefix.shape[0]
-    n = sigs_full.shape[0]
-    m0 = nbrs_p.shape[1]
-    big = jnp.float32(jnp.inf)
+@functools.partial(jax.jit, static_argnames=("ef", "r", "hops", "expand"))
+def _graph_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, r, hops, expand):
+    """Search-time traversal: beam on the prefix, return the top-r
+    candidates (prefix distances) for reranking."""
+    beam_ids, beam_d = _beam(
+        sigs_p, nbrs_p, entries, q_p, n, ef=ef, hops=hops, expand=expand)
+    return beam_d[:, :r], beam_ids[:, :r]
 
-    # ---- entry tier: exact distances to the sampled entries
-    ent_sigs = jnp.take(sigs_p, entries, axis=0)  # [T, S']
-    d_ent = hamming_frac(q_prefix, ent_sigs, impl="xla")  # [Q, T]
-    t = entries.shape[0]
-    k0 = min(ef, t)
-    neg, idx = jax.lax.top_k(-d_ent, k0)
-    beam_ids = jnp.take(entries, idx, axis=0).astype(jnp.int32)  # [Q, k0]
-    beam_d = -neg
 
-    # pad beam to ef with sentinel
-    if k0 < ef:
-        pad = ef - k0
-        beam_ids = jnp.concatenate([beam_ids, jnp.full((qn, pad), n, jnp.int32)], axis=1)
-        beam_d = jnp.concatenate([beam_d, jnp.full((qn, pad), big)], axis=1)
-    expanded = beam_ids >= n  # sentinels count as expanded
+@functools.partial(jax.jit, static_argnames=("knbn", "s_true"))
+def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true):
+    """Full-signature rerank of [Q, R] candidates, chunked over queries so
+    the gathered [chunk, R, S] block stays small."""
+    qb, r = ids.shape
+    chunk = max(1, min(128, qb))
+    pad = (-qb) % chunk
+    if pad:
+        q_full = jnp.concatenate([q_full, jnp.zeros((pad,) + q_full.shape[1:], q_full.dtype)])
+        ids = jnp.concatenate([ids, jnp.zeros((pad, r), ids.dtype)])
+    qc = q_full.reshape(-1, chunk, q_full.shape[-1])
+    idc = ids.reshape(-1, chunk, r)
 
-    # visited ring holds everything we have ever scored; size it to the
-    # whole search when feasible so wraparound (which permits re-scoring
-    # and therefore duplicate beam entries) is the exception, not the rule
-    vis_size = _round_up(min(ef + hops * expand * m0, 8192), 128)
-    ring = jnp.full((qn, vis_size), n, jnp.int32)
-    ring = jax.lax.dynamic_update_slice(ring, beam_ids, (0, 0))
-    ring_pos = jnp.int32(ef)
+    def f(args):
+        q, i = args
+        rows = jnp.take(sigs_full, i, axis=0)  # [chunk, R, S]
+        eq = (rows == q[:, None, :]).sum(-1).astype(jnp.float32)
+        return 1.0 - eq / jnp.float32(s_true)
 
-    def hop(state, _):
-        beam_ids, beam_d, expanded, ring, ring_pos = state
-        # select E best unexpanded beam entries
-        sel_d = jnp.where(expanded, big, beam_d)
-        _, sel = jax.lax.top_k(-sel_d, expand)  # [Q, E] beam positions
-        sel_ids = jnp.take_along_axis(beam_ids, sel, axis=1)  # [Q, E]
-        # mark them expanded
-        onehot = jnp.zeros_like(expanded).at[
-            jnp.arange(qn)[:, None], sel
-        ].set(True)
-        expanded = expanded | onehot
-
-        # gather neighbor lists [Q, E*M0]
-        cand = jnp.take(nbrs_p, sel_ids, axis=0).reshape(qn, expand * m0)
-        # de-dup: against the ring, the live beam (ring wraparound can have
-        # forgotten beam members), and within the candidate block itself
-        seen = (cand[:, :, None] == ring[:, None, :]).any(-1)
-        in_beam = (cand[:, :, None] == beam_ids[:, None, :]).any(-1)
-        first_occur = (cand[:, :, None] == cand[:, None, :]).astype(jnp.int32)
-        is_dup = (jnp.cumsum(first_occur, axis=-1).diagonal(axis1=1, axis2=2) > 1)
-        fresh = ~seen & ~in_beam & ~is_dup & (cand < n)
-        cand = jnp.where(fresh, cand, n)
-
-        # score fresh candidates on the signature prefix
-        cd = _eq_dist_rows(sigs_p, q_prefix, cand)
-        cd = jnp.where(fresh, cd, big)
-
-        # merge into beam
-        all_ids = jnp.concatenate([beam_ids, cand], axis=1)
-        all_d = jnp.concatenate([beam_d, cd], axis=1)
-        all_x = jnp.concatenate([expanded, jnp.zeros_like(fresh)], axis=1)
-        negd, keep = jax.lax.top_k(-all_d, ef)
-        beam_ids = jnp.take_along_axis(all_ids, keep, axis=1)
-        beam_d = -negd
-        expanded = jnp.take_along_axis(all_x, keep, axis=1)
-
-        # append candidates to ring (fixed-position rolling window)
-        ring = jax.lax.dynamic_update_slice(
-            ring, cand, (0, ring_pos % jnp.int32(max(vis_size - expand * m0, 1)))
-        )
-        ring_pos = ring_pos + expand * m0
-        return (beam_ids, beam_d, expanded, ring, ring_pos), None
-
-    (beam_ids, beam_d, expanded, ring, ring_pos), _ = jax.lax.scan(
-        hop, (beam_ids, beam_d, expanded, ring, ring_pos), None, length=hops
-    )
-
-    # full-signature rerank of the final beam
-    full_d = _eq_dist_rows(
-        jnp.concatenate([sigs_full, jnp.zeros((1, sigs_full.shape[1]), sigs_full.dtype)], 0),
-        q_full,
-        beam_ids,
-    )
-    full_d = jnp.where(beam_ids >= n, big, full_d)
-    negd, keep = jax.lax.top_k(-full_d, knbn)
-    ids = jnp.take_along_axis(beam_ids, keep, axis=1)
-    return -negd, ids
+    d = jax.lax.map(f, (qc, idc)).reshape(-1, r)[:qb]
+    ids = ids[:qb]
+    d = jnp.where(ids < n, d, jnp.inf)
+    neg, sel = jax.lax.top_k(-d, knbn)
+    return -neg, jnp.take_along_axis(ids, sel, axis=1)

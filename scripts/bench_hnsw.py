@@ -1,0 +1,154 @@
+"""HNSW graph index at reference scale on the real TPU chip.
+
+Builds an HnswIndex over N clustered synthetic signatures (mutation-ladder
+structure: members share most sketch slots with their cluster center — the
+shape real genome sketches have, unlike uniform-random), then measures:
+
+  * build wall-clock (the reference builds 318k-genome RefSeq in 2-3 h on a
+    24-thread CPU, /root/reference/README.md:134)
+  * exact-oracle top-10 (device brute force over the full signatures)
+  * qps + recall@10 for a sweep of ef_search values
+  * exact (flat-path) qps at the same N for the crossover comparison
+
+Usage: python scripts/bench_hnsw.py [N] [S] [M] [EFC] [EF,EF,...]
+Writes results to HNSW_BENCH.json and prints progress to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[hnsw-bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def make_clustered(rng, n, s, n_centers, lo=0.02, hi=0.45):
+    """Cluster members = center with a random fraction of slots re-rolled."""
+    centers = (rng.integers(0, 1 << 24, size=(n_centers, s)).astype(np.float32)
+               * np.float32(1.0 / (1 << 24)))
+    sigs = np.empty((n, s), dtype=np.float32)
+    per = n // n_centers
+    for c in range(n_centers):
+        fracs = rng.uniform(lo, hi, size=per)
+        block = np.repeat(centers[c][None, :], per, axis=0)
+        mask = rng.random((per, s)) < fracs[:, None]
+        nmut = int(mask.sum())
+        block[mask] = rng.random(nmut).astype(np.float32)
+        sigs[c * per:(c + 1) * per] = block
+        if c % 256 == 0:
+            log(f"gen centers {c}/{n_centers}")
+    rest = n - per * n_centers
+    if rest:
+        sigs[per * n_centers:] = (rng.integers(0, 1 << 24, size=(rest, s))
+                                  .astype(np.float32) / np.float32(1 << 24))
+    return sigs, centers
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
+    s = int(sys.argv[2]) if len(sys.argv) > 2 else 12_000
+    m = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    efc = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+    efs = ([int(x) for x in sys.argv[5].split(",")]
+           if len(sys.argv) > 5 else [64, 256, 1024])
+    nq, k = 256, 10
+
+    from gsearch_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from gsearch_tpu.index.hnsw import HnswIndex
+    from gsearch_tpu.ops.distance import hamming_frac
+
+    log(f"backend={jax.default_backend()} N={n} S={s} m={m} efc={efc} efs={efs}")
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    sigs, centers = make_clustered(rng, n, s, n_centers=max(n // 128, 8))
+    # queries: fresh mutants of random centers (same generative process)
+    qc = rng.integers(0, centers.shape[0], nq)
+    queries = centers[qc].copy()
+    qmask = rng.random((nq, s)) < rng.uniform(0.05, 0.35, size=(nq, 1))
+    queries[qmask] = rng.random(int(qmask.sum())).astype(np.float32)
+    log(f"data generated in {time.perf_counter() - t0:.1f}s")
+
+    idx = HnswIndex(sketch_size=s, sig_dtype=np.float32, max_nb_conn=m,
+                    ef_construction=efc)
+    t0 = time.perf_counter()
+    idx.insert(sigs, batch_size=1024)
+    t_build = time.perf_counter() - t0
+    log(f"BUILD: {t_build:.1f}s for {n} points "
+        f"({n / t_build:.0f} inserts/s)")
+
+    # ---- exact oracle on device (one fused dispatch over the full sigs)
+    full = idx._device_full_sigs()  # [nb+1, S] u32
+    q_u32 = queries.view(np.uint32)
+    t0 = time.perf_counter()
+    d = hamming_frac(jnp.asarray(q_u32), full[:-1])
+    col = jnp.arange(full.shape[0] - 1, dtype=jnp.int32)
+    d = jnp.where(col[None, :] < n, d, jnp.inf)
+    negd, oracle_ids = jax.lax.top_k(-d, k)
+    oracle_ids = np.asarray(oracle_ids)
+    oracle_d = -np.asarray(negd)
+    t_oracle_compile = time.perf_counter() - t0
+    log(f"oracle done (compile+run {t_oracle_compile:.1f}s)")
+
+    # exact-path qps (timed warm): the flat-index crossover comparison
+    def exact_once():
+        dd = hamming_frac(jnp.asarray(q_u32), full[:-1])
+        dd = jnp.where(col[None, :] < n, dd, jnp.inf)
+        nn, ii = jax.lax.top_k(-dd, k)
+        return np.asarray(ii)
+    exact_once()
+    t0 = time.perf_counter()
+    iters = 4
+    for _ in range(iters):
+        exact_once()
+    exact_qps = nq * iters / (time.perf_counter() - t0)
+    log(f"exact-path qps at N={n}: {exact_qps:.0f}")
+
+    results = {
+        "n": n, "s": s, "max_nb_conn": m, "ef_construction": efc,
+        "build_s": round(t_build, 1), "exact_qps": round(exact_qps, 1),
+        "points_per_s": round(n / t_build, 1), "curve": [],
+    }
+
+    def recall_of(ids):
+        return float(np.mean([
+            len(set(oracle_ids[i]) & set(ids[i])) / k for i in range(nq)]))
+
+    def tie_aware(dd):
+        return float(np.mean([
+            1.0 - sum(1 for a, b in zip(sorted(dd[i]), sorted(oracle_d[i]))
+                      if a > b + 1e-6) / k for i in range(nq)]))
+
+    for ef in efs:
+        t0 = time.perf_counter()
+        dd, ids = idx.search(queries, knbn=k, ef_search=ef)  # compile + run
+        t_compile = time.perf_counter() - t0
+        rec, ta = recall_of(ids), tie_aware(dd)
+        t0 = time.perf_counter()
+        iters = 4
+        for _ in range(iters):
+            idx.search(queries, knbn=k, ef_search=ef)
+        qps = nq * iters / (time.perf_counter() - t0)
+        log(f"ef={ef}: recall@10={rec:.4f} tie-aware={ta:.4f} "
+            f"qps={qps:.0f} (first call {t_compile:.1f}s)")
+        results["curve"].append({
+            "ef": ef, "recall10": round(rec, 4), "tie_aware": round(ta, 4),
+            "qps": round(qps, 1)})
+
+    with open("HNSW_BENCH.json", "w") as f:
+        json.dump(results, f, indent=1)
+    log("wrote HNSW_BENCH.json")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

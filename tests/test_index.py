@@ -83,3 +83,42 @@ def test_hnsw_incremental_insert(rng):
     # self-queries must find themselves
     _, ids = hnsw.search(sigs[450:460], knbn=1, ef_search=64)
     assert (ids[:, 0] == np.arange(450, 460)).all()
+
+
+def test_hnsw_prefix_rerank_paths(rng, monkeypatch):
+    """search_prefix < S exercises the beam-on-prefix + full-sig rerank
+    paths; device and host rerank must agree with the flat oracle."""
+    n, s, k = 2600, 1024, 10
+    all_sigs = _sig_cloud(rng, n + 16, s, n_clusters=24)
+    sigs, queries = all_sigs[:n], all_sigs[n:]
+
+    flat = FlatIndex(sketch_size=s, sig_dtype=np.uint32)
+    flat.insert(sigs)
+    true_d, _ = flat.search(queries, knbn=k)
+
+    hnsw = HnswIndex(
+        sketch_size=s, sig_dtype=np.uint32, max_nb_conn=24, ef_construction=96,
+        search_prefix=256,
+    )
+    hnsw.insert(sigs, batch_size=512)
+
+    def tie_aware(got_d):
+        return np.mean([
+            1.0 - sum(1 for a, b in zip(sorted(got_d[i]), sorted(true_d[i]))
+                      if a > b + 1e-6) / k
+            for i in range(len(queries))
+        ])
+
+    got_d_dev, ids_dev = hnsw.search(queries, knbn=k, ef_search=192)
+    assert tie_aware(got_d_dev) >= 0.97, f"device-rerank recall {tie_aware(got_d_dev):.3f}"
+
+    # force the host-rerank path and check it agrees with device rerank
+    import gsearch_tpu.index.hnsw as hnsw_mod
+    monkeypatch.setattr(hnsw_mod, "_RERANK_DEVICE_BYTES", 0)
+    got_d_host, ids_host = hnsw.search(queries, knbn=k, ef_search=192)
+    # equal-distance ties may order differently between top_k and
+    # argpartition; distances must agree exactly, ids where untied
+    np.testing.assert_allclose(got_d_host, got_d_dev, atol=1e-6)
+    untied = got_d_dev[:, :-1] + 1e-9 < got_d_dev[:, 1:]
+    row_untied = untied.all(axis=1)
+    np.testing.assert_array_equal(ids_host[row_untied], ids_dev[row_untied])
