@@ -24,6 +24,12 @@ log = get_logger(__name__)
 def _add_global(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pio", type=int, default=0, help="files per parallel IO group")
     p.add_argument("--nbthreads", type=int, default=0, help="host parse threads")
+    p.add_argument(
+        "--mesh", type=int, default=0,
+        help="shard sketching and search over a device mesh "
+             "(0=off, -1=all devices, N=first N devices); replaces the "
+             "reference's multiple_build/multiple_search scripts",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -118,7 +124,9 @@ def main(argv=None) -> int:
 
     from ..core import ComputingParams, HnswParams, ProcessingParams, SeqSketcherParams
 
-    computing = ComputingParams(nb_files_par=args.pio, nb_threads=args.nbthreads)
+    computing = ComputingParams(
+        nb_files_par=args.pio, nb_threads=args.nbthreads, mesh_devices=args.mesh
+    )
 
     if args.command == "tohnsw":
         from ..pipeline import build_database

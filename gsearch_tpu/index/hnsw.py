@@ -445,7 +445,7 @@ def _prefix_dist(rows: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """rows [..., S'], q broadcastable -> fraction of differing slots."""
     sp = rows.shape[-1]
     eq = (rows == q).sum(axis=-1).astype(jnp.float32)
-    return 1.0 - eq / jnp.float32(sp)
+    return (jnp.float32(sp) - eq) / jnp.float32(sp)
 
 
 def _beam(sigs_p, nbrs_p, entries, q_p, n, *, ef, hops, expand):
@@ -635,7 +635,7 @@ def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true):
         q, i = args
         rows = jnp.take(sigs_full, i, axis=0)  # [chunk, R, S]
         eq = (rows == q[:, None, :]).sum(-1).astype(jnp.float32)
-        return 1.0 - eq / jnp.float32(s_true)
+        return (jnp.float32(s_true) - eq) / jnp.float32(s_true)
 
     d = jax.lax.map(f, (qc, idc)).reshape(-1, r)[:qb]
     ids = ids[:qb]

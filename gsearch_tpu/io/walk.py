@@ -41,6 +41,27 @@ def walk_fasta_dir(root: str, is_aa: bool = False) -> List[str]:
     return found
 
 
+def bounded_thread_map(fn, items, workers: int, window: int = 0):
+    """Ordered thread map with a bounded in-flight window.
+
+    ThreadPoolExecutor.map submits every item up front — unbounded memory
+    when items expand into whole parsed genomes; this keeps at most
+    `window` futures alive.  The worker role matches the reference's
+    rayon par_iter over a file group (files.rs:258-341) with nb_threads
+    workers."""
+    from collections import deque
+
+    window = window or 2 * workers
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        q: deque = deque()
+        for x in items:
+            q.append(pool.submit(fn, x))
+            while len(q) >= window:
+                yield q.popleft().result()
+        while q:
+            yield q.popleft().result()
+
+
 def iter_file_buffers(
     paths: List[str], group_size: int = 0
 ) -> Iterator[Tuple[int, str, bytes]]:

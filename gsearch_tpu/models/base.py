@@ -76,6 +76,14 @@ class SketcherBase:
         # per-instance jit caches (lru_cache on methods would pin `self`
         # and its device buffers in a global cache forever)
         self._fn_cache: dict = {}
+        self.mesh = None  # optional jax Mesh: shard batched sketching over 'd'
+
+    def set_mesh(self, mesh) -> None:
+        """Enable data-parallel sketching over the mesh's 'd' axis: genome
+        batches shard over devices, the race runs per-chip with no
+        communication (the TPU-native form of the reference's sketcher
+        thread fan-out, dnasketch.rs:300-325, at pod scale)."""
+        self.mesh = mesh
 
     # ---- subclass interface -------------------------------------------------
 
@@ -107,7 +115,14 @@ class SketcherBase:
         return bucket_min(slots, keys, self.nb_slots, payload=payload, valid=dvalid)
 
     # ---- 2-bit host packing (DNA): uploads are the build bottleneck on
-    # relayed/remote device setups, so ship 0.375 B/base instead of 1 ----
+    # relayed/remote device setups.  Two formats:
+    #   exception form — 2-bit codes + per-row length + a short list of
+    #     invalid positions (0.25 B/base; covers the common case: record
+    #     separators and scattered Ns),
+    #   bit-plane form — 2-bit codes + a validity bit plane (0.375 B/base;
+    #     fallback for N-run-heavy rows with > _MAX_EXC invalid positions).
+
+    _MAX_EXC = 1024  # invalid positions carried per row in exception form
 
     @staticmethod
     def _pack_host(arr: np.ndarray):
@@ -118,21 +133,87 @@ class SketcherBase:
         vb = np.packbits(valid, axis=-1, bitorder="little")
         return p2, vb
 
+    @classmethod
+    def _pack_host_exc(cls, arr: np.ndarray, lens: np.ndarray):
+        """u8 codes [b, nb] + row lengths -> (p2 [b, nb//4], lens, inv
+        [b, _MAX_EXC] positions of invalid codes, padded with nb) or None
+        when some row has too many invalid positions (caller falls back to
+        the bit-plane form)."""
+        b, nb = arr.shape
+        inv_mask = arr >= 4
+        inv_mask &= np.arange(nb, dtype=np.int32)[None, :] < lens[:, None]
+        if int(inv_mask.sum()) > 0:
+            counts = inv_mask.sum(axis=1)
+            if int(counts.max()) > cls._MAX_EXC:
+                return None
+            r, c = np.nonzero(inv_mask)
+            inv = np.full((b, cls._MAX_EXC), nb, np.int32)
+            rank = np.arange(len(r)) - np.searchsorted(r, r, side="left")
+            inv[r, rank] = c
+        else:
+            inv = np.full((b, cls._MAX_EXC), nb, np.int32)
+        cc = np.where(arr >= 4, 0, arr).astype(np.uint8)
+        p2 = (cc[:, 0::4] | (cc[:, 1::4] << 2) | (cc[:, 2::4] << 4) | (cc[:, 3::4] << 6))
+        return p2, lens.astype(np.int32), inv
+
+    @staticmethod
+    def _unpack2(p2: jnp.ndarray, nb: int) -> jnp.ndarray:
+        b = p2.shape[0]
+        c = jnp.stack([(p2 >> (2 * i)) & jnp.uint8(3) for i in range(4)], axis=-1)
+        return c.reshape(b, nb)
+
     @staticmethod
     def _unpack_device(p2: jnp.ndarray, vb: jnp.ndarray, nb: int) -> jnp.ndarray:
         b = p2.shape[0]
-        c = jnp.stack([(p2 >> (2 * i)) & jnp.uint8(3) for i in range(4)], axis=-1)
-        c = c.reshape(b, nb)
+        c = SketcherBase._unpack2(p2, nb)
         v = jnp.stack([(vb >> i) & jnp.uint8(1) for i in range(8)], axis=-1)
         v = v.reshape(b, nb).astype(jnp.bool_)
         return jnp.where(v, c, jnp.uint8(255))
 
+    @staticmethod
+    def _unpack_device_exc(p2: jnp.ndarray, lens: jnp.ndarray, inv: jnp.ndarray,
+                           nb: int) -> jnp.ndarray:
+        b = p2.shape[0]
+        c = SketcherBase._unpack2(p2, nb)
+        pos = jnp.arange(nb, dtype=jnp.int32)
+        c = jnp.where(pos[None, :] < lens[:, None], c, jnp.uint8(255))
+        # apply invalid-position exceptions; padding indices (= nb) land in
+        # a sacrificial extra column
+        ext = jnp.concatenate([c, jnp.zeros((b, 1), jnp.uint8)], axis=1)
+        ext = ext.at[jnp.arange(b)[:, None], inv].set(jnp.uint8(255))
+        return ext[:, :nb]
+
     def _block_fn(self, nb: int):
+        """Streaming-piece kernel: one genome piece -> RaceResult.  DNA
+        pieces arrive in the packed exception form (0.25 B/base over the
+        relay); AA pieces as raw codes."""
         key = ("block", nb)
         if key in self._fn_cache:
             return self._fn_cache[key]
 
-        def run(codes: jnp.ndarray) -> RaceResult:
+        if self.is_aa:
+            def run(codes: jnp.ndarray) -> RaceResult:
+                hi, lo, valid = self._windows(codes)
+                slots, keys, payload, dvalid = self._darts(hi, lo, valid)
+                return self._race(slots, keys, payload, dvalid)
+        else:
+            def run(p2: jnp.ndarray, lens: jnp.ndarray, inv: jnp.ndarray) -> RaceResult:
+                codes = self._unpack_device_exc(p2, lens, inv, nb)[0]
+                hi, lo, valid = self._windows(codes)
+                slots, keys, payload, dvalid = self._darts(hi, lo, valid)
+                return self._race(slots, keys, payload, dvalid)
+
+        self._fn_cache[key] = jax.jit(run)
+        return self._fn_cache[key]
+
+    def _block_fn_plane(self, nb: int):
+        """Bit-plane fallback for N-run-heavy pieces."""
+        key = ("block_plane", nb)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+
+        def run(p2: jnp.ndarray, vb: jnp.ndarray) -> RaceResult:
+            codes = self._unpack_device(p2, vb, nb)[0]
             hi, lo, valid = self._windows(codes)
             slots, keys, payload, dvalid = self._darts(hi, lo, valid)
             return self._race(slots, keys, payload, dvalid)
@@ -140,30 +221,46 @@ class SketcherBase:
         self._fn_cache[key] = jax.jit(run)
         return self._fn_cache[key]
 
-    def _batch_fn_impl(self, b: int, nb: int):
+    def _batch_fn_impl(self, b: int, nb: int, form: str):
         """Sketch a whole [b, nb] batch of same-bucket genomes in ONE
         dispatch — the device analog of the reference's sketcher thread
         pool (dnasketch.rs:300-325): dispatch latency and sort fixed costs
         amortize over the batch."""
 
-        if self.is_aa:
-            def run(codes: jnp.ndarray) -> jnp.ndarray:
-                hi, lo, valid = self._windows(codes)
-                slots, keys, payload, dvalid = self._darts(hi, lo, valid)
-                return self._finalize_race(self._race(slots, keys, payload, dvalid))
-        else:
-            def run(p2: jnp.ndarray, vb: jnp.ndarray) -> jnp.ndarray:
-                codes = self._unpack_device(p2, vb, nb)
-                hi, lo, valid = self._windows(codes)
-                slots, keys, payload, dvalid = self._darts(hi, lo, valid)
-                return self._finalize_race(self._race(slots, keys, payload, dvalid))
+        def body(codes):
+            hi, lo, valid = self._windows(codes)
+            slots, keys, payload, dvalid = self._darts(hi, lo, valid)
+            return self._finalize_race(self._race(slots, keys, payload, dvalid))
 
+        if self.is_aa:
+            run = body
+        elif form == "exc":
+            def run(p2, lens, inv):
+                return body(self._unpack_device_exc(p2, lens, inv, nb))
+        else:
+            def run(p2, vb):
+                return body(self._unpack_device(p2, vb, nb))
+
+        if self.mesh is not None:
+            # explicit SPMD: each chip sketches its batch shard locally (the
+            # race's scatter-min stays shard-local, no collectives at all)
+            from jax.sharding import PartitionSpec as P
+
+            if self.is_aa:
+                in_specs = (P("d", None),)
+            elif form == "exc":
+                in_specs = (P("d", None), P("d"), P("d", None))
+            else:
+                in_specs = (P("d", None), P("d", None))
+            run = jax.shard_map(
+                run, mesh=self.mesh, in_specs=in_specs, out_specs=P("d", None),
+            )
         return jax.jit(run)
 
-    def _batch_fn(self, b: int, nb: int):
-        key = ("batch", b, nb)
+    def _batch_fn(self, b: int, nb: int, form: str = "exc"):
+        key = ("batch", b, nb, form, self.mesh is not None)
         if key not in self._fn_cache:
-            self._fn_cache[key] = self._batch_fn_impl(b, nb)
+            self._fn_cache[key] = self._batch_fn_impl(b, nb, form)
         return self._fn_cache[key]
 
     @functools.cached_property
@@ -202,10 +299,18 @@ class SketcherBase:
         return race
 
     def _run_block(self, codes: np.ndarray) -> RaceResult:
-        nb = block_length(len(codes), self.MAX_BLOCK_LOG2)
-        if len(codes) < nb:
-            codes = np.pad(codes, (0, nb - len(codes)), constant_values=255)
-        return self._block_fn(nb)(jnp.asarray(codes))
+        n_true = len(codes)
+        nb = block_length(n_true, self.MAX_BLOCK_LOG2)
+        if n_true < nb:
+            codes = np.pad(codes, (0, nb - n_true), constant_values=255)
+        if self.is_aa:
+            return self._block_fn(nb)(jnp.asarray(codes))
+        packed = self._pack_host_exc(codes[None, :], np.array([n_true]))
+        if packed is None:
+            p2, vb = self._pack_host(codes[None, :])
+            return self._block_fn_plane(nb)(jnp.asarray(p2), jnp.asarray(vb))
+        p2, lens, inv = packed
+        return self._block_fn(nb)(jnp.asarray(p2), jnp.asarray(lens), jnp.asarray(inv))
 
     # total elements per batched dispatch: bounds sort memory and keeps one
     # compiled (batch, block) shape per block bucket; larger on TPU where
@@ -239,22 +344,44 @@ class SketcherBase:
                 for row, i in enumerate(chunk):
                     out[i] = sigs[row]
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            nd = int(np.prod(self.mesh.devices.shape))
+
+            def put(x):
+                # batch rows shard over the mesh; the jitted race runs SPMD
+                # per-chip with no collectives
+                spec = P("d", *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+        else:
+            nd = 1
+            put = jnp.asarray
+
         for nb, idxs in groups.items():
-            bcap = max(1, (1 << self._BATCH_ELEMS_LOG2) // nb)
+            bcap = max(nd, (1 << self._BATCH_ELEMS_LOG2) // nb)
             for start in range(0, len(idxs), bcap):
                 chunk = idxs[start : start + bcap]
-                b = 1
+                b = nd
                 while b < len(chunk):
                     b <<= 1
                 b = min(b, bcap)
                 arr = np.full((b, nb), 255, dtype=np.uint8)
+                lens = np.zeros(b, dtype=np.int32)
                 for row, i in enumerate(chunk):
                     arr[row, : len(codes_list[i])] = codes_list[i]
+                    lens[row] = len(codes_list[i])
                 if self.is_aa:
-                    dev = self._batch_fn(b, nb)(jnp.asarray(arr))
+                    dev = self._batch_fn(b, nb)(put(arr))
                 else:
-                    p2, vb = self._pack_host(arr)
-                    dev = self._batch_fn(b, nb)(jnp.asarray(p2), jnp.asarray(vb))
+                    packed = self._pack_host_exc(arr, lens)
+                    if packed is not None:
+                        p2, lens, inv = packed
+                        dev = self._batch_fn(b, nb, "exc")(
+                            put(p2), put(lens), put(inv))
+                    else:  # N-run-heavy batch: validity bit plane
+                        p2, vb = self._pack_host(arr)
+                        dev = self._batch_fn(b, nb, "plane")(put(p2), put(vb))
                 pending.append((chunk, dev))
                 drain(limit=3)
         drain(limit=0)

@@ -53,25 +53,35 @@ def _local_eqcount(q: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
 
 
 def sharded_knn(mesh: Mesh, s_total: int, knbn: int):
-    """Build the jitted sharded search step: (db_shard, queries) -> (d, ids).
+    """Build the jitted sharded search step:
+    (db_shard, queries, n_live) -> (d, ids).
 
-    db is laid out P('d', ['s']) and queries P(None, ['s']); output is fully
+    db is laid out P('d', ['s']) and queries P(None, ['s']); n_live is the
+    replicated true row count (pad rows beyond it are masked to +inf so
+    shard-divisible padding never pollutes results); output is fully
     replicated (every chip returns the merged global top-k).
     """
     has_s = "s" in mesh.axis_names
 
-    in_specs = (P("d", "s") if has_s else P("d", None), P(None, "s") if has_s else P(None, None))
+    in_specs = (
+        P("d", "s") if has_s else P("d", None),
+        P(None, "s") if has_s else P(None, None),
+        P(),
+    )
     out_specs = (P(None, None), P(None, None))
 
-    def step(db_local: jnp.ndarray, q_local: jnp.ndarray):
+    def step(db_local: jnp.ndarray, q_local: jnp.ndarray, n_live: jnp.ndarray):
         eq = _local_eqcount(q_local, db_local)
         if has_s:
             eq = jax.lax.psum(eq, "s")  # combine sketch-dim partial counts
-        d = 1.0 - eq / jnp.float32(s_total)
+        d = (jnp.float32(s_total) - eq) / jnp.float32(s_total)
+        shard = jax.lax.axis_index("d")
+        lids = (jnp.arange(db_local.shape[0], dtype=jnp.int32)
+                + shard * db_local.shape[0])
+        d = jnp.where((lids < n_live)[None, :], d, jnp.inf)
         k = min(knbn, db_local.shape[0])
         neg, idx = jax.lax.top_k(-d, k)
-        shard = jax.lax.axis_index("d")
-        gids = (idx + shard * db_local.shape[0]).astype(jnp.int32)
+        gids = jnp.take(lids, idx)
         # merge candidates across row shards over ICI
         all_d = jax.lax.all_gather(-neg, "d", axis=1, tiled=True)  # [Q, D*k]
         all_g = jax.lax.all_gather(gids, "d", axis=1, tiled=True)
@@ -115,7 +125,7 @@ def sharded_sketch_and_knn_step(mesh: Mesh, sketcher, block_len: int, knbn: int)
         q = sigs_all
         eq = _local_eqcount(q.view(jnp.uint32) if q.dtype == jnp.float32 else q,
                             db_local.view(jnp.uint32) if db_local.dtype == jnp.float32 else db_local)
-        d = 1.0 - eq / jnp.float32(s_total)
+        d = (jnp.float32(s_total) - eq) / jnp.float32(s_total)
         k = min(knbn, db_local.shape[0])
         neg, idx = jax.lax.top_k(-d, k)
         shard = jax.lax.axis_index("d")
@@ -130,6 +140,43 @@ def sharded_sketch_and_knn_step(mesh: Mesh, sketcher, block_len: int, knbn: int)
     fn = jax.shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                        check_vma=False)
     return jax.jit(fn)
+
+
+class MeshSearcher:
+    """Row-sharded exact k-NN over a device mesh — the first-class
+    replacement for the reference's offline N-piece sharding
+    (scripts/split_folder.sh + multiple_build.sh + multiple_search.sh,
+    README.md:402-413): every device holds one contiguous shard of the
+    signature matrix, queries broadcast, per-shard top-k merges over ICI.
+
+    Works over any index kind's signature matrix (flat or hnsw — both
+    persist [N, S] sigs), and scales the database past one chip's HBM.
+    Results are exact (recall 1.0)."""
+
+    def __init__(self, sigs: np.ndarray, mesh: Mesh | None = None,
+                 n_devices: int | None = None):
+        self.mesh = mesh or make_device_mesh(n_devices)
+        d = int(np.prod(self.mesh.devices.shape))
+        n, s = sigs.shape
+        self.n = n
+        self.s_total = s
+        u = sigs.view(np.uint32) if sigs.dtype == np.float32 else sigs
+        pad = (-n) % d
+        if pad:
+            u = np.concatenate([u, np.zeros((pad, s), u.dtype)], axis=0)
+        self.db = shard_database(u, self.mesh)
+        self._fns: dict = {}
+
+    def search(self, queries: np.ndarray, knbn: int, ef_search: int = 0):
+        """(distances [Q, k], ids [Q, k]) — exact; ef_search ignored."""
+        del ef_search
+        knbn = min(knbn, self.n)
+        q = queries.view(np.uint32) if queries.dtype == np.float32 else queries
+        fn = self._fns.get(knbn)
+        if fn is None:
+            fn = self._fns[knbn] = sharded_knn(self.mesh, self.s_total, knbn)
+        d, ids = fn(self.db, jnp.asarray(q), jnp.int32(self.n))
+        return np.asarray(d), np.asarray(ids)
 
 
 def shard_database(db: np.ndarray, mesh: Mesh) -> jax.Array:

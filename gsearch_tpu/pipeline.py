@@ -47,6 +47,41 @@ MATCHES_FILE = "gsearch.matches"
 FLAT_AUTO_LIMIT = 200_000
 
 
+def _iter_parsed(paths, is_aa: bool, block_flag: bool, computing: ComputingParams,
+                 timer: StageTimer):
+    """Yield (path, [(codes, fasta_id, length), ...]) per file, in path
+    order.  nb_threads > 1 parses files concurrently (read + decompress +
+    native encode all release the GIL) — the reference's rayon parse
+    workers (files.rs:258-341); otherwise --pio group slurping applies."""
+
+    def parse_one(args):
+        path, data = args
+        with timer.stage("parse"):
+            if data is None:
+                from .io.fasta import read_file_bytes
+
+                data = read_file_bytes(path)
+            if block_flag:
+                codes, first_id, total = concat_file_codes(path, is_aa=is_aa, data=data)
+                units = [(codes, first_id, total)] if total > 0 else []
+            else:
+                units = [
+                    (codes, fid, len(codes))
+                    for codes, fid in file_records_codes(path, is_aa=is_aa, data=data)
+                ]
+        return path, units
+
+    if computing.nb_threads > 1:
+        from .io.walk import bounded_thread_map
+
+        yield from bounded_thread_map(
+            parse_one, ((p, None) for p in paths), computing.nb_threads
+        )
+    else:
+        for _rank, path, data in iter_file_buffers(paths, computing.nb_files_par):
+            yield parse_one((path, data))
+
+
 def _sketch_dir(
     dirpath: str,
     params: ProcessingParams,
@@ -55,9 +90,23 @@ def _sketch_dir(
     timer: StageTimer,
 ) -> List[np.ndarray]:
     """Walk + parse + sketch every FASTA under dirpath; extends seqdict and
-    returns one signature per dictionary entry, in rank order."""
+    returns one signature per dictionary entry, in rank order.
+
+    3-stage overlap, the TPU shape of the reference's producer/sketcher/
+    collector thread groups (dnasketch.rs:183-456): a producer thread walks
+    + parses + encodes into a bounded queue while the main thread assembles
+    device batches; the device batches themselves overlap upload with
+    compute behind the sketcher's in-flight window."""
     is_aa = params.sketch.data_t.value == "AA"
     sketcher = make_sketcher(params.sketch)
+    if computing.mesh_devices:
+        from .parallel.mesh import make_device_mesh
+
+        mesh = make_device_mesh(
+            None if computing.mesh_devices < 0 else computing.mesh_devices
+        )
+        sketcher.set_mesh(mesh)
+        log.info("sketching sharded over %d devices", mesh.devices.size)
     paths = walk_fasta_dir(dirpath, is_aa=is_aa)
     if not paths:
         raise FileNotFoundError(f"no FASTA files under {dirpath}")
@@ -81,18 +130,31 @@ def _sketch_dir(
         buf_codes = []
         buf_bases = 0
 
-    for filerank, path, data in iter_file_buffers(paths, computing.nb_files_par):
-        with timer.stage("parse"):
-            if params.block_flag:
-                units: List[Tuple[np.ndarray, str, int]] = []
-                codes, first_id, total = concat_file_codes(path, is_aa=is_aa, data=data)
-                if total > 0:
-                    units.append((codes, first_id, total))
-            else:
-                units = [
-                    (codes, fid, len(codes))
-                    for codes, fid in file_records_codes(path, is_aa=is_aa, data=data)
-                ]
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(computing.nb_files_par, 8))
+    _END = object()
+
+    def produce():
+        try:
+            for item in _iter_parsed(paths, is_aa, params.block_flag, computing, timer):
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            q.put(e)
+        q.put(_END)
+
+    prod = threading.Thread(target=produce, daemon=True, name="gsearch-producer")
+    prod.start()
+    filerank = 0
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        path, units = item
+        filerank += 1
         for codes, fasta_id, length in units:
             if length < params.sketch.kmer_size:
                 # no valid k-mer can exist: an empty sketch carries no
@@ -106,8 +168,9 @@ def _sketch_dir(
             if buf_bases >= (1 << 26) or len(buf_codes) >= 2048:
                 flush()
         if time.time() - t_report > 30:
-            log.info("processed %d/%d files, %d sequences", filerank + 1, len(paths), nb_seq)
+            log.info("processed %d/%d files, %d sequences", filerank, len(paths), nb_seq)
             t_report = time.time()
+    prod.join()
     flush()
     return sigs
 
@@ -199,7 +262,19 @@ def request_database(
     req_dict = SeqDict()
     sigs = _sketch_dir(req_dir, params, computing, req_dict, timer)
     with timer.stage("search"):
-        dists, ids = index.search(np.stack(sigs), knbn=nb_answers, ef_search=ef_search)
+        if computing.mesh_devices:
+            # row-shard the database over the mesh and merge per-shard
+            # top-k over ICI — the first-class form of the reference's
+            # multiple_search.sh (exact, so ef_search is moot)
+            from .parallel.mesh import MeshSearcher
+
+            searcher = MeshSearcher(
+                index.get_sigs(),
+                n_devices=None if computing.mesh_devices < 0 else computing.mesh_devices,
+            )
+            dists, ids = searcher.search(np.stack(sigs), knbn=nb_answers)
+        else:
+            dists, ids = index.search(np.stack(sigs), knbn=nb_answers, ef_search=ef_search)
 
     matcher = Matcher(threshold=OUT_THRESHOLD)
     os.makedirs(out_dir, exist_ok=True)

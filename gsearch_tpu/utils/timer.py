@@ -6,15 +6,21 @@ StageTimer is the structured equivalent; `report()` returns a dict suitable
 for logging or for processing_state.json enrichment.
 """
 
+import threading
 import time
 from contextlib import contextmanager
 
 
 class StageTimer:
+    """Thread-safe: stages may run concurrently (producer-thread parse
+    overlaps device sketch), so per-stage wall sums can legitimately
+    exceed the end-to-end wall clock."""
+
     def __init__(self):
         self._wall = {}
         self._cpu = {}
         self._counts = {}
+        self._lock = threading.Lock()
 
     @contextmanager
     def stage(self, name: str):
@@ -23,13 +29,17 @@ class StageTimer:
         try:
             yield
         finally:
-            self._wall[name] = self._wall.get(name, 0.0) + time.perf_counter() - w0
-            self._cpu[name] = self._cpu.get(name, 0.0) + time.process_time() - c0
-            self._counts[name] = self._counts.get(name, 0) + 1
+            dw = time.perf_counter() - w0
+            dc = time.process_time() - c0
+            with self._lock:
+                self._wall[name] = self._wall.get(name, 0.0) + dw
+                self._cpu[name] = self._cpu.get(name, 0.0) + dc
+                self._counts[name] = self._counts.get(name, 0) + 1
 
     def add(self, name: str, wall_s: float):
-        self._wall[name] = self._wall.get(name, 0.0) + wall_s
-        self._counts[name] = self._counts.get(name, 0) + 1
+        with self._lock:
+            self._wall[name] = self._wall.get(name, 0.0) + wall_s
+            self._counts[name] = self._counts.get(name, 0) + 1
 
     def report(self) -> dict:
         return {

@@ -25,7 +25,7 @@ def test_sharded_knn_matches_single(rng):
     mesh = make_device_mesh(8)
     search = sharded_knn(mesh, s_total=s, knbn=k)
     db_sharded = shard_database(db, mesh)
-    d, ids = search(db_sharded, jnp.asarray(queries))
+    d, ids = search(db_sharded, jnp.asarray(queries), jnp.int32(n))
     d, ids = np.asarray(d), np.asarray(ids)
 
     # oracle: single-device exact
@@ -46,7 +46,7 @@ def test_sharded_knn_2d_mesh(rng):
     assert mesh.axis_names == ("d", "s")
     search = sharded_knn(mesh, s_total=s, knbn=k)
     db_sharded = shard_database(db, mesh)
-    d, ids = search(db_sharded, jnp.asarray(queries))
+    d, ids = search(db_sharded, jnp.asarray(queries), jnp.int32(n))
     d, ids = np.asarray(d), np.asarray(ids)
     assert (ids[:, 0] == np.arange(q)).all()
     np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-6)
@@ -86,3 +86,63 @@ def test_sharded_sketch_and_knn_step(rng):
     # each fresh signature's nearest db row is its own planted copy
     assert (ids[:, 0] == np.arange(batch)).all()
     np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-6)
+
+
+def test_mesh_pipeline_e2e(rng, tmp_path):
+    """tohnsw --mesh 8 -> request --mesh 8 through the real pipeline:
+    dp-sharded sketching at build, MeshSearcher at request."""
+    from gsearch_tpu.core import ComputingParams, HnswParams, ProcessingParams
+    from gsearch_tpu.core.params import SeqSketcherParams
+    from gsearch_tpu.pipeline import build_database, request_database
+
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    gdir, qdir, dbdir, odir = (tmp_path / x for x in ("g", "q", "db", "out"))
+    gdir.mkdir(), qdir.mkdir()
+    genomes = [bytes(rng.choice(acgt, 4000)) for _ in range(20)]
+    for i, g in enumerate(genomes):
+        (gdir / f"g{i}.fna").write_bytes(b">c\n" + g + b"\n")
+    mut = np.frombuffer(genomes[3], np.uint8).copy()
+    pos = rng.choice(len(mut), 40, replace=False)
+    mut[pos] = rng.choice(acgt, 40)
+    (qdir / "q.fna").write_bytes(b">q\n" + mut.tobytes() + b"\n")
+
+    pp = ProcessingParams(
+        hnsw=HnswParams(capacity=1000, ef=64, max_nb_conn=8, scale_modification=1.0),
+        sketch=SeqSketcherParams(kmer_size=14, sketch_size=256, algo="OPTDENS",
+                                 data_t="DNA"),
+        block_flag=True,
+    )
+    comp = ComputingParams(mesh_devices=-1)  # all 8 virtual devices
+    build_database(str(gdir), str(dbdir), pp, comp)
+    res = request_database(str(dbdir), str(qdir), nb_answers=5, computing=comp,
+                           out_dir=str(odir))
+    assert res["nb_requests"] == 1
+    body = (odir / "gsearch.neighbors.txt").read_text()
+    assert "g3.fna" in body
+
+    # mesh build must produce the same database as the single-device build
+    dbdir2 = tmp_path / "db2"
+    build_database(str(gdir), str(dbdir2), pp, ComputingParams())
+    a = np.load(dbdir / "index.sigs.npy")
+    b = np.load(dbdir2 / "index.sigs.npy")
+    np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
+
+
+def test_mesh_searcher_matches_flat(rng):
+    """MeshSearcher over a signature matrix == single-device exact search,
+    including non-divisible N (pad-row masking)."""
+    from gsearch_tpu.index.flat import FlatIndex
+    from gsearch_tpu.parallel.mesh import MeshSearcher
+
+    n, s, k = 1001, 96, 7  # 1001 % 8 != 0 on purpose
+    sigs = rng.integers(0, 1 << 24, size=(n, s)).astype(np.float32)
+    queries = sigs[rng.choice(n, 9, replace=False)].copy()
+
+    flat = FlatIndex(sketch_size=s, sig_dtype=np.float32)
+    flat.insert(sigs)
+    d0, _ = flat.search(queries, knbn=k)
+
+    ms = MeshSearcher(sigs, n_devices=8)
+    d, ids = ms.search(queries, knbn=k)
+    np.testing.assert_allclose(d, d0, atol=1e-6)
+    assert (d[:, 0] == 0).all() and ids.max() < n
