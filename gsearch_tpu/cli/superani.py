@@ -13,14 +13,14 @@ import sys
 
 
 def run_superani(query_list: str, ref_list: str, kmer: int = 16, c: int = 30,
-                 output: str = "superani.out") -> int:
+                 output: str = "superani.out", model: str | None = None) -> int:
     from ..io.fasta import concat_file_codes
-    from ..models.seedchain import SeedChainer
+    from ..models.seedchain import AniRegression, SeedChainer
     from .bindash import read_genome_list
 
     queries = read_genome_list(query_list)
     refs = read_genome_list(ref_list)
-    chainer = SeedChainer(k=kmer, c=c)
+    chainer = SeedChainer(k=kmer, c=c, regression=AniRegression.load(model))
 
     def sketch_all(paths):
         return {p: chainer.sketch(concat_file_codes(p)[0]) for p in paths}
@@ -51,11 +51,15 @@ def main(argv=None) -> int:
     ap.add_argument("-c", "--spacing", type=int, default=30)
     ap.add_argument("-t", "--threads", type=int, default=0, help="accepted for parity; unused")
     ap.add_argument("-o", "--output", default="superani.out")
+    ap.add_argument("--model", default=None,
+                    help="JSON regression-correction coefficients "
+                         "(skani regression hook, superani.rs:107)")
     args = ap.parse_args(argv)
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
-    n = run_superani(args.query_list, args.reference_list, args.kmer, args.spacing, args.output)
+    n = run_superani(args.query_list, args.reference_list, args.kmer,
+                     args.spacing, args.output, model=args.model)
     print(f"wrote {n} pairs to {args.output}", file=sys.stderr)
     return 0
 

@@ -9,23 +9,32 @@ reports the aligned fraction of query and reference.
 
 TPU-native formulation:
   * seeds: canonical k-mers thinned to ~1/c by a hash threshold (the same
-    fused window/hash kernel as every sketcher; positions kept),
+    fused window/hash kernel as every sketcher; positions kept) — the
+    FracMinHash-style sketching skani calls fastx_to_sketches,
   * matching: seed hash sets of the two genomes joined by sorted merge,
-  * chaining: matched anchors vote into diagonal bands (qpos - rpos); runs
-    of consistent diagonals form chains, mirroring skani's collinear
-    chaining at band granularity.  ANI follows the Mash/Poisson inversion
-    of the per-chain seed identity rate, and AF_q/AF_r are the chained
-    span fractions.
+  * chaining (chain_seeds role): anchors group into diagonal bands
+    (qpos - rpos); within a band anchors are made collinear by a monotone
+    filter over reference positions and split into chains at large
+    query-position gaps.  Chains with too few anchors are noise and drop.
+  * ANI: matched anchors over the query seeds that fall inside the chained
+    query intervals (counted exactly from the seed position index, not a
+    span/c estimate), inverted through the Binomial k-mer survival model
+    ident^(1/k) — for point mutations (1-p)^k survival makes this exact.
+  * AF_q / AF_r: merged-interval coverage of the chained anchors on each
+    sequence (interval union, so overlapping chains never double-count).
 
-The learned regression correction of skani (regression::predict_from_ani_res)
-is intentionally not reproduced; the raw seed-identity ANI is reported.
+skani's learned regression correction (superani.rs:107,129-131
+regression::{get_model,predict_from_ani_res}) is exposed as a hook:
+`AniRegression.load(path)` reads a JSON coefficient file and post-corrects
+(ani, af) predictions; the default model is the identity (raw chained
+seed-identity ANI), which is exact on clean mutation ladders.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Tuple
+import json
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +45,9 @@ from ..ops.hash import mix2
 from ..ops.kmer import canonical_dna_windows
 
 _SEED = 0x5CA41
-_BAND = 2048  # diagonal band width (bases)
+_BAND = 2048      # diagonal band width (bases); tolerates ~2kb of indel drift
+_MAX_GAP = 5000   # query-gap that breaks a chain (skani's chaining gap role)
+_MIN_CHAIN = 3    # anchors needed for a chain to count
 
 
 @dataclasses.dataclass
@@ -47,11 +58,53 @@ class SeedSketch:
     c: int                 # spacing (1 seed per ~c bases)
 
 
+class AniRegression:
+    """Post-correction hook in the role of skani's learned regression
+    model (superani.rs:107,129-131).  Coefficients live in a JSON file:
+    {"intercept": b, "ani": w1, "af": w2} predicting corrected ANI from
+    (raw_ani, mean_af); absent file -> identity."""
+
+    def __init__(self, intercept: float = 0.0, w_ani: float = 1.0, w_af: float = 0.0):
+        self.intercept = intercept
+        self.w_ani = w_ani
+        self.w_af = w_af
+
+    @classmethod
+    def load(cls, path: Optional[str]) -> "AniRegression":
+        if not path:
+            return cls()
+        with open(path) as f:
+            d = json.load(f)
+        return cls(d.get("intercept", 0.0), d.get("ani", 1.0), d.get("af", 0.0))
+
+    def predict(self, ani: float, af: float) -> float:
+        out = self.intercept + self.w_ani * ani + self.w_af * af
+        return float(min(max(out, 0.0), 100.0))
+
+
+def _merge_intervals(starts: np.ndarray, ends: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Union of [start, end) intervals; returns merged (starts, ends)."""
+    if len(starts) == 0:
+        return starts, ends
+    order = np.argsort(starts)
+    s, e = starts[order], ends[order]
+    ms, me = [s[0]], [e[0]]
+    for i in range(1, len(s)):
+        if s[i] <= me[-1]:
+            me[-1] = max(me[-1], e[i])
+        else:
+            ms.append(s[i])
+            me.append(e[i])
+    return np.asarray(ms), np.asarray(me)
+
+
 class SeedChainer:
-    def __init__(self, k: int = 16, c: int = 30, seed: int = _SEED):
+    def __init__(self, k: int = 16, c: int = 30, seed: int = _SEED,
+                 regression: Optional[AniRegression] = None):
         self.k = k
         self.c = c
         self.seed = seed
+        self.regression = regression or AniRegression()
         self._threshold = np.uint32(int(2**32 // c))
 
     def _seed_fn(self, nb: int):
@@ -59,6 +112,7 @@ class SeedChainer:
             self._fn_cache = {}
         if nb in self._fn_cache:
             return self._fn_cache[nb]
+
         def run(codes: jnp.ndarray):
             hi, lo, valid = canonical_dna_windows(codes, self.k)
             h = mix2(hi, lo, self.seed)
@@ -89,6 +143,29 @@ class SeedChainer:
         keep = counts == 1
         return SeedSketch(hashes=uh[keep], positions=p[idx[keep]], length=n, c=self.c)
 
+    def _chains(self, qp: np.ndarray, rp: np.ndarray) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Collinear chains from matched anchors: band by diagonal, make
+        each band monotone in reference position, split at query gaps."""
+        diag = (qp - rp) // _BAND
+        chains: List[Tuple[np.ndarray, np.ndarray]] = []
+        for b in np.unique(diag):
+            m = diag == b
+            q_b, r_b = qp[m], rp[m]
+            order = np.argsort(q_b)
+            q_b, r_b = q_b[order], r_b[order]
+            # monotone filter: drop anchors whose ref position regresses
+            # (running-max check keeps the collinear subsequence greedily)
+            keep = np.maximum.accumulate(r_b) == r_b
+            q_b, r_b = q_b[keep], r_b[keep]
+            if len(q_b) < _MIN_CHAIN:
+                continue
+            # split at large query gaps
+            brk = np.nonzero(np.diff(q_b) > _MAX_GAP)[0] + 1
+            for seg_q, seg_r in zip(np.split(q_b, brk), np.split(r_b, brk)):
+                if len(seg_q) >= _MIN_CHAIN:
+                    chains.append((seg_q, seg_r))
+        return chains
+
     def compare(self, q: SeedSketch, r: SeedSketch) -> Tuple[float, float, float]:
         """Returns (ani_percent, af_query, af_ref)."""
         if len(q.hashes) == 0 or len(r.hashes) == 0:
@@ -96,37 +173,38 @@ class SeedChainer:
         # sorted-merge join of the seed sets
         common, qi, ri = np.intersect1d(q.hashes, r.hashes, assume_unique=True,
                                         return_indices=True)
-        if len(common) < 5:
+        if len(common) < _MIN_CHAIN:
             return 0.0, 0.0, 0.0
         qp = q.positions[qi].astype(np.int64)
         rp = r.positions[ri].astype(np.int64)
-        # diagonal-band chaining: anchors voting for the same diagonal band
-        # belong to one collinear chain
-        diag = (qp - rp) // _BAND
-        bands, votes = np.unique(diag, return_counts=True)
-        # keep bands with enough support (>= 2 anchors and >= 2% of matches)
-        good = (votes >= 2) & (votes >= 0.02 * votes.max())
-        good_bands = set(bands[good].tolist())
-        in_chain = np.array([d in good_bands for d in diag.tolist()])
-        if in_chain.sum() < 5:
+
+        chains = self._chains(qp, rp)
+        if not chains:
             return 0.0, 0.0, 0.0
-        qp_c, rp_c = qp[in_chain], rp[in_chain]
-        # chained span on each sequence (union of per-band spans)
-        span_q = 0
-        span_r = 0
-        for b in good_bands:
-            m = diag[in_chain] == b
-            if m.sum() < 2:
-                continue
-            span_q += int(qp_c[m].max() - qp_c[m].min()) + self.c
-            span_r += int(rp_c[m].max() - rp_c[m].min()) + self.c
-        af_q = min(1.0, span_q / max(q.length, 1))
-        af_r = min(1.0, span_r / max(r.length, 1))
-        # seed identity rate within the chained region: matched seeds over
-        # the seeds the query has in that span
-        n_match = int(in_chain.sum())
-        exp_seeds_q = max(span_q, 1) / q.c
-        ident = min(1.0, n_match / max(exp_seeds_q, 1.0))
-        # Mash/Poisson inversion of k-mer survival (README.md:110-117)
-        ani = 100.0 * (1.0 + np.log(max(ident, 1e-12)) / self.k)
+
+        ext = self.k  # an anchor covers [pos, pos + k)
+        qs = np.asarray([c[0][0] for c in chains])
+        qe = np.asarray([c[0][-1] + ext for c in chains])
+        rs = np.asarray([c[1].min() for c in chains])
+        re = np.asarray([c[1].max() + ext for c in chains])
+        mqs, mqe = _merge_intervals(qs, qe)
+        mrs, mre = _merge_intervals(rs, re)
+        aligned_q = int((mqe - mqs).sum())
+        aligned_r = int((mre - mrs).sum())
+        af_q = min(1.0, aligned_q / max(q.length, 1))
+        af_r = min(1.0, aligned_r / max(r.length, 1))
+
+        # identity = matched anchors / query seeds inside the chained query
+        # intervals (exact count via the sorted position index)
+        n_match = int(sum(len(c[0]) for c in chains))
+        qpos_sorted = np.sort(q.positions)
+        in_aligned = int(
+            (np.searchsorted(qpos_sorted, mqe) - np.searchsorted(qpos_sorted, mqs)).sum()
+        )
+        ident = min(1.0, n_match / max(in_aligned, 1))
+        # Binomial k-mer survival inversion: (1-p)^k = ident  =>
+        # ANI = 100 * ident^(1/k)  (reference reformat model 2,
+        # src/bin/reformat.rs:84; exact for point mutations)
+        ani = 100.0 * float(ident) ** (1.0 / self.k)
+        ani = self.regression.predict(ani, 0.5 * (af_q + af_r))
         return float(max(ani, 0.0)), af_q, af_r
