@@ -75,24 +75,29 @@ class Hubness:
         return hist
 
 
-def kgraph_from_index(index, knbn: int = 8, ef_search: int = 0) -> KGraph:
-    """Self-search the database: k-NN graph over its own points."""
+def kgraph_from_index(index, knbn: int = 8, ef_search: int = 0,
+                      batch: int = 4096) -> KGraph:
+    """Self-search the database: k-NN graph over its own points.
+
+    Queries stream in batches (one fused device dispatch each) so the N x N
+    sweep never materializes on either side; self-match removal is
+    vectorized (no per-node Python loop — the reference operating point is
+    65k+ nodes, src/bin/gsearch.rs:537-561)."""
     sigs = index.get_sigs()
-    ef = ef_search or max(64, 2 * (knbn + 1))
-    d, ids = index.search(sigs, knbn=knbn + 1, ef_search=ef)
-    # drop self-matches (first column where id == row, else farthest)
     n = sigs.shape[0]
-    rows = np.arange(n)
+    ef = ef_search or max(64, 2 * (knbn + 1))
     out_ids = np.empty((n, knbn), dtype=np.int32)
     out_d = np.empty((n, knbn), dtype=np.float32)
-    for i in rows:
-        mask = ids[i] != i
-        keep_ids = ids[i][mask][:knbn]
-        keep_d = d[i][mask][:knbn]
-        if len(keep_ids) < knbn:  # degenerate duplicates: pad with last
-            pad = knbn - len(keep_ids)
-            keep_ids = np.concatenate([keep_ids, keep_ids[-1:].repeat(pad)])
-            keep_d = np.concatenate([keep_d, keep_d[-1:].repeat(pad)])
-        out_ids[i] = keep_ids
-        out_d[i] = keep_d
+    for s in range(0, n, batch):
+        e = min(n, s + batch)
+        d, ids = index.search(sigs[s:e], knbn=knbn + 1, ef_search=ef)
+        ids = ids.astype(np.int32)
+        # drop the self column: order non-self first (stable, keeps the
+        # distance sort), then take knbn
+        not_self = ids != np.arange(s, e, dtype=np.int32)[:, None]
+        # rows where self never appeared (all k+1 are neighbors): drop last
+        order = np.argsort(~not_self, axis=1, kind="stable")
+        keep = order[:, :knbn]
+        out_ids[s:e] = np.take_along_axis(ids, keep, axis=1)
+        out_d[s:e] = np.take_along_axis(d, keep, axis=1)
     return KGraph(neighbors=out_ids, distances=out_d)

@@ -14,36 +14,48 @@ import sys
 
 
 def load_train_model(path_or_name: str):
-    """Load a codon-usage model.
+    """Load a gene model, dispatching on the file form — the role of
+    FragGeneScan's train files (reference:
+    binaux/src/bin/FragGeneScanRs.rs:116-119):
 
-    "standard" = built-in; otherwise a JSON file {"codon_usage":
-    {"ATG": freq, ...}} (e.g. computed from a reference proteome) — the
-    role of FragGeneScan's train files (reference:
-    binaux/src/bin/FragGeneScanRs.rs:116-119)."""
+    "standard"    built-in E. coli-prior codon table,
+    *.npz         GeneModel (CG-binned codon + dicodon tables; produced by
+                  GeneModel.train_from_cds / save),
+    *.json        {"codon_usage": {"ATG": freq, ...}},
+    anything else FragGeneScan-format `gene` train file (best effort).
+
+    Returns (codon_logusage | None, GeneModel | None)."""
     import numpy as np
 
-    from ..models.genepred import _codon_id, default_codon_logusage
+    from ..models.genepred import GeneModel, _codon_id, default_codon_logusage
 
     if path_or_name == "standard":
-        return default_codon_logusage()
-    import json
+        return default_codon_logusage(), None
+    if path_or_name.endswith(".npz"):
+        return None, GeneModel.load(path_or_name)
+    if path_or_name.endswith(".json"):
+        import json
 
-    with open(path_or_name) as f:
-        d = json.load(f)
-    usage = np.full(64, 1e-9, dtype=np.float64)
-    for codon, freq in d["codon_usage"].items():
-        usage[_codon_id(codon.upper())] = max(float(freq), 1e-9)
-    usage /= usage.sum()
-    return np.log(usage).astype(np.float32)
+        with open(path_or_name) as f:
+            d = json.load(f)
+        usage = np.full(64, 1e-9, dtype=np.float64)
+        for codon, freq in d["codon_usage"].items():
+            usage[_codon_id(codon.upper())] = max(float(freq), 1e-9)
+        usage /= usage.sum()
+        return np.log(usage).astype(np.float32), None
+    return None, GeneModel.from_fgs_gene_file(path_or_name)
 
 
 def run_genepred(seq_file: str, out_prefix: str, whole_genes: bool = True,
                  min_len: int = 90, train: str = "standard") -> int:
     from ..io.fasta import parse_fasta
-    from ..models.genepred import GenePredParams, predict_genes
+    from ..models.genepred import (GenePredParams, default_codon_logusage,
+                                   predict_genes)
 
+    codon_lu, model = load_train_model(train)
     params = GenePredParams(
-        codon_logusage=load_train_model(train),
+        codon_logusage=codon_lu if codon_lu is not None else default_codon_logusage(),
+        model=model,
         whole_genes_only=whole_genes,
         min_gene_len=min_len,
     )

@@ -70,18 +70,186 @@ def _codon_id(codon: str) -> int:
     )
 
 
+# E. coli K-12 codon usage (occurrences per 1000 codons, standard published
+# table) — the built-in prior when no trained model is supplied.  The
+# reference tool never runs untrained either: it ships CG-binned tables
+# (FragGeneScanRs.rs:116-119); these are the 50%-CG-bin analog.
+_ECOLI_USAGE_PER_1000 = {
+    "TTT": 22.2, "TTC": 16.6, "TTA": 13.9, "TTG": 13.7, "CTT": 11.0,
+    "CTC": 11.0, "CTA": 3.9, "CTG": 52.6, "ATT": 30.3, "ATC": 25.1,
+    "ATA": 4.4, "ATG": 27.9, "GTT": 18.3, "GTC": 15.3, "GTA": 10.9,
+    "GTG": 26.4, "TCT": 8.5, "TCC": 8.6, "TCA": 7.2, "TCG": 8.9,
+    "CCT": 7.0, "CCC": 5.5, "CCA": 8.4, "CCG": 23.2, "ACT": 9.0,
+    "ACC": 23.4, "ACA": 7.1, "ACG": 14.4, "GCT": 15.3, "GCC": 25.5,
+    "GCA": 20.1, "GCG": 33.6, "TAT": 16.2, "TAC": 12.2, "TAA": 2.0,
+    "TAG": 0.2, "CAT": 12.9, "CAC": 9.7, "CAA": 15.3, "CAG": 28.8,
+    "AAT": 17.7, "AAC": 21.7, "AAA": 33.6, "AAG": 10.3, "GAT": 32.1,
+    "GAC": 19.1, "GAA": 39.4, "GAG": 17.8, "TGT": 5.2, "TGC": 6.4,
+    "TGA": 0.9, "TGG": 15.2, "CGT": 20.9, "CGC": 22.0, "CGA": 3.6,
+    "CGG": 5.4, "AGT": 8.8, "AGC": 16.1, "AGA": 2.1, "AGG": 1.2,
+    "GGT": 24.7, "GGC": 29.6, "GGA": 8.0, "GGG": 11.1,
+}
+
+
 def default_codon_logusage() -> np.ndarray:
-    """Built-in 64-entry codon log-usage (E. coli-flavored bias: uniform
-    over sense codons with stops floored).  Replaceable via GenePredParams."""
-    usage = np.full(64, 1.0 / 61.0, dtype=np.float64)
+    """Built-in 64-entry codon log-usage: E. coli K-12 bias with in-frame
+    stops floored.  Replaceable via GenePredParams / GeneModel."""
+    usage = np.full(64, 1e-7, dtype=np.float64)
+    for codon, per1000 in _ECOLI_USAGE_PER_1000.items():
+        usage[_codon_id(codon)] = max(per1000, 1e-4)
     for s in _STOPS:
-        usage[_codon_id(s)] = 1e-7
+        usage[_codon_id(s)] = 1e-4  # in-frame stop: hard floor keeps ORFs open
+    usage /= usage.sum()
     return np.log(usage).astype(np.float32)
+
+
+def _floor_stops(p: np.ndarray, floor: float = 1e-4) -> np.ndarray:
+    """Pin in-frame stop codons to a small FIXED probability (last axis).
+
+    Training drives stop counts to ~0; the raw log would make emitting a
+    gene's own terminal stop so expensive that Viterbi refuses to open the
+    gene at all.  A fixed floor keeps the stop penalty comparable to the
+    explicit stop-transition bonus instead of dominating it."""
+    out = np.array(p, dtype=np.float64)
+    idx = [_codon_id(s) for s in _STOPS]
+    out[..., idx] = floor
+    return out / out.sum(axis=-1, keepdims=True)
+
+
+class GeneModel:
+    """CG-content-binned codon + dicodon emission tables — the role of
+    FragGeneScan's trained models (the reference loads per-CG-content
+    train files and picks tables by each record's CG content,
+    binaux/src/bin/FragGeneScanRs.rs:116-119,225-243).
+
+    cg_bins [B] (percent), codon_logusage [B, 64], and optionally
+    dicodon_logusage [B, 64, 64] = log P(codon | previous codon)."""
+
+    def __init__(self, cg_bins, codon_logusage, dicodon_logusage=None):
+        self.cg_bins = np.asarray(cg_bins, dtype=np.float32)
+        self.codon_logusage = np.asarray(codon_logusage, dtype=np.float32)
+        self.dicodon_logusage = (
+            None if dicodon_logusage is None
+            else np.asarray(dicodon_logusage, dtype=np.float32)
+        )
+
+    def tables_for(self, cg_percent: float):
+        b = int(np.argmin(np.abs(self.cg_bins - cg_percent)))
+        di = None if self.dicodon_logusage is None else self.dicodon_logusage[b]
+        return self.codon_logusage[b], di
+
+    def save(self, path: str) -> None:
+        arrs = {"cg_bins": self.cg_bins, "codon_logusage": self.codon_logusage}
+        if self.dicodon_logusage is not None:
+            arrs["dicodon_logusage"] = self.dicodon_logusage
+        np.savez(path, **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "GeneModel":
+        g = np.load(path)
+        return cls(g["cg_bins"], g["codon_logusage"],
+                   g["dicodon_logusage"] if "dicodon_logusage" in g else None)
+
+    @classmethod
+    def train_from_cds(cls, cds_list, nb_bins: int = 9,
+                       cg_lo: float = 30.0, cg_hi: float = 70.0) -> "GeneModel":
+        """Estimate CG-binned codon + dicodon tables from in-frame coding
+        sequences (the self-training analog of FragGeneScan's offline
+        training pipeline).  Each CDS contributes to its own CG bin;
+        add-one smoothing; empty bins inherit the global tables."""
+        bins = np.linspace(cg_lo, cg_hi, nb_bins)
+        cnt = np.ones((nb_bins, 64), dtype=np.float64)
+        dcnt = np.zeros((nb_bins, 64, 64), dtype=np.float64)
+        gcnt = np.ones(64, dtype=np.float64)
+        gdcnt = np.zeros((64, 64), dtype=np.float64)
+        touched = np.zeros(nb_bins, dtype=bool)
+        for cds in cds_list:
+            seq = cds.decode() if isinstance(cds, (bytes, bytearray)) else cds
+            seq = seq.upper()
+            if len(seq) < 6:
+                continue
+            cg = 100.0 * sum(c in "GC" for c in seq) / len(seq)
+            b = int(np.argmin(np.abs(bins - cg)))
+            touched[b] = True
+            prev = None
+            for i in range(0, len(seq) - 2, 3):
+                tri = seq[i:i + 3]
+                if any(c not in _CODE_BASE for c in tri):
+                    prev = None
+                    continue
+                cid = _codon_id(tri)
+                cnt[b, cid] += 1
+                gcnt[cid] += 1
+                if prev is not None:
+                    dcnt[b, prev, cid] += 1
+                    gdcnt[prev, cid] += 1
+                prev = cid
+        for b in range(nb_bins):
+            if not touched[b]:
+                cnt[b] = gcnt
+                dcnt[b] = gdcnt
+        codon_p = _floor_stops(cnt / cnt.sum(axis=1, keepdims=True))
+        # smooth dicodon rows toward the bin's MARGINAL usage (not uniform):
+        # unseen prev-codon rows then score like the codon table instead of
+        # flat 1/64, so sparse training never scores worse than marginal
+        alpha = 8.0
+        dcnt = dcnt + alpha * codon_p[:, None, :]
+        dicodon_p = _floor_stops(dcnt / dcnt.sum(axis=2, keepdims=True))
+        return cls(bins, np.log(codon_p).astype(np.float32),
+                   np.log(dicodon_p).astype(np.float32))
+
+    @classmethod
+    def from_fgs_gene_file(cls, path: str) -> "GeneModel":
+        """Best-effort loader for FragGeneScan-format `gene` train files
+        (sections: one CG-percent header line, then 6 codon-period blocks
+        of 16 lines x 4 transition probabilities P(base | 2 prev bases);
+        reference consumption site: FragGeneScanRs.rs:116-119).  The
+        second codon's three periods convert to P(codon2 | codon1):
+        P(u|yz) P(v|zu) P(w|uv) for c1=xyz, c2=uvw."""
+        sections = []
+        cur_cg, rows = None, []
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                if len(parts) == 1:
+                    if cur_cg is not None and len(rows) >= 96:
+                        sections.append((cur_cg, rows[:96]))
+                    cur_cg, rows = float(parts[0]), []
+                else:
+                    rows.append([float(x) for x in parts[:4]])
+        if cur_cg is not None and len(rows) >= 96:
+            sections.append((cur_cg, rows[:96]))
+        if not sections:
+            raise ValueError(f"no CG sections parsed from {path}")
+        cg_bins, codons, dicodons = [], [], []
+        floor = 1e-9
+        for cg, rows in sections:
+            e = np.asarray(rows, dtype=np.float64).reshape(6, 16, 4)
+            e = np.maximum(e, floor)
+            di = np.zeros((64, 64), dtype=np.float64)
+            for c1 in range(64):
+                y, z = (c1 >> 2) & 3, c1 & 3
+                for c2 in range(64):
+                    u, v, w = (c2 >> 4) & 3, (c2 >> 2) & 3, c2 & 3
+                    di[c1, c2] = (e[3, y * 4 + z, u] * e[4, z * 4 + u, v]
+                                  * e[5, u * 4 + v, w])
+            di = _floor_stops(di / di.sum(axis=1, keepdims=True))
+            cg_bins.append(cg)
+            dicodons.append(np.log(di))
+            # marginal codon table from the stationary dicodon chain
+            marg = di.mean(axis=0)
+            codons.append(np.log(_floor_stops(marg / marg.sum())))
+        return cls(np.asarray(cg_bins), np.asarray(codons, dtype=np.float32),
+                   np.asarray(dicodons, dtype=np.float32))
 
 
 @dataclasses.dataclass
 class GenePredParams:
     codon_logusage: np.ndarray = dataclasses.field(default_factory=default_codon_logusage)
+    dicodon_logusage: np.ndarray | None = None  # [64, 64] log P(codon|prev)
+    model: "GeneModel | None" = None      # CG-binned tables; overrides the two above
     p_gene_start: float = 1.0 / 400.0     # nc -> gene rate per strand
     start_codon_bonus: float = 3.0        # extra for ATG/GTG/TTG at gene start
     stop_codon_bonus: float = 6.0         # extra for a proper stop at gene end
@@ -98,8 +266,14 @@ class Gene:
     aa: str
 
 
-def _precompute_scores(codes: jnp.ndarray, p: GenePredParams):
+def _precompute_scores(codes: jnp.ndarray, p: GenePredParams,
+                       codon_lu: np.ndarray | None = None,
+                       dicodon_lu: np.ndarray | None = None):
     """codes [B, L] -> per-position emissions [B, L, 7] and bonuses."""
+    if codon_lu is None:
+        codon_lu = p.codon_logusage
+    if dicodon_lu is None:
+        dicodon_lu = p.dicodon_logusage
     b, l = codes.shape
     c = jnp.where(codes < 4, codes, 0).astype(jnp.int32)
     invalid = codes >= 4
@@ -118,21 +292,37 @@ def _precompute_scores(codes: jnp.ndarray, p: GenePredParams):
     rc = 3 - c
     rcodon = rc * 16 + (3 - c2) * 4 + (3 - c1)
 
-    usage = jnp.asarray(p.codon_logusage)
+    usage = jnp.asarray(codon_lu)
     neg_big = jnp.float32(-1e9)
 
     # emissions: nc pays log(1/4) per base; coding pays the full codon
-    # log-usage at the third codon position (M1/M2 emit 0), so one codon of
-    # coding ~ log P(codon) competes with 3*log(1/4) of noncoding.
+    # log-score at the third codon position (M1/M2 emit 0), so one codon of
+    # coding ~ log P(codon) competes with 3*log(1/4) of noncoding.  With a
+    # dicodon table the score is P(codon | previous codon) — FragGeneScan's
+    # trained-emission family (base probabilities conditioned on the two
+    # preceding bases across the dicodon cycle) at codon granularity.
+    m3 = jnp.take(usage, codon)
+    r3 = jnp.take(usage, rcodon)
+    if dicodon_lu is not None:
+        di = jnp.asarray(dicodon_lu)  # [64, 64]
+        # forward: previous codon in reading order ends at i-3
+        prev = jnp.roll(codon, 3, axis=1)
+        prev_bad = jnp.roll(codon_bad, 3, axis=1) | (pos < 5)
+        m3 = jnp.where(prev_bad, m3, di[prev.reshape(-1), codon.reshape(-1)]
+                       .reshape(b, l))
+        # reverse: minus-strand genes read right-to-left, so the codon read
+        # before the one ending at i is the rcodon ending at i+3
+        rprev = jnp.roll(rcodon, -3, axis=1)
+        rprev_bad = jnp.roll(codon_bad, -3, axis=1) | (pos >= l - 3)
+        r3 = jnp.where(rprev_bad, r3, di[rprev.reshape(-1), rcodon.reshape(-1)]
+                       .reshape(b, l))
     e = jnp.zeros((b, l, NSTATE), dtype=jnp.float32)
     e = e.at[:, :, NC].set(jnp.where(invalid, neg_big, jnp.float32(np.log(0.25))))
     zero_or_inval = jnp.where(invalid, neg_big, jnp.float32(0.0))
     for st in (F1, F2, R1, R2):
         e = e.at[:, :, st].set(zero_or_inval)
-    m3 = jnp.where(codon_bad, neg_big, jnp.take(usage, codon))
-    r3 = jnp.where(codon_bad, neg_big, jnp.take(usage, rcodon))
-    e = e.at[:, :, F3].set(m3)
-    e = e.at[:, :, R3].set(r3)
+    e = e.at[:, :, F3].set(jnp.where(codon_bad, neg_big, m3))
+    e = e.at[:, :, R3].set(jnp.where(codon_bad, neg_big, r3))
 
     start_ids = jnp.asarray([_codon_id(s) for s in _STARTS])
     stop_ids = jnp.asarray([_codon_id(s) for s in _STOPS])
@@ -247,13 +437,21 @@ def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene
     l = len(codes)
     if l < p.min_gene_len:
         return []
+    codon_lu, dicodon_lu = p.codon_logusage, p.dicodon_logusage
+    if p.model is not None:
+        # CG-content-binned table selection, as the reference tool does per
+        # record (FragGeneScanRs.rs:225-243 count_cg_content -> locals[cg])
+        valid = codes < 4
+        nv = int(valid.sum())
+        cg = 100.0 * float(((codes == 1) | (codes == 2)).sum()) / max(nv, 1)
+        codon_lu, dicodon_lu = p.model.tables_for(cg)
     # pad to power-of-two-ish buckets so contigs of any length reuse a
     # handful of compiled Viterbi programs
     target = 1 << 12
     while target < l:
         target <<= 1
     codes_j = jnp.asarray(np.pad(codes, (0, target - l), constant_values=255))[None, :]
-    e, sb, pb, rbb, reb = _precompute_scores(codes_j, p)
+    e, sb, pb, rbb, reb = _precompute_scores(codes_j, p, codon_lu, dicodon_lu)
     path = np.asarray(
         _viterbi(codes_j, e, sb, pb, rbb, reb, p.p_gene_start, p.min_gene_len)
     )[:, 0][:l]

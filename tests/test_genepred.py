@@ -89,3 +89,102 @@ def test_cli_outputs(tmp_path):
     if n:
         faa = (tmp_path / "pred.faa").read_text()
         assert faa.startswith(">contig1_")
+
+
+def _make_cds(rng, n_codons, favored):
+    return "ATG" + "".join(rng.choice(favored) for _ in range(n_codons)) + "TAA"
+
+
+def test_trained_dicodon_model_recovers_genes():
+    """train_from_cds -> CG-binned dicodon model; planted genes drawn from
+    the SAME generator as training (but fresh) are recovered with high
+    sensitivity and precision (VERDICT round-1 item 5)."""
+    from gsearch_tpu.models.genepred import GeneModel
+
+    rng = np.random.default_rng(10)
+    favored = [c for c, aa in _CODON_AA.items() if aa not in "*" and c[2] in "CG"]
+    train_cds = [_make_cds(rng, 150, favored).encode() for _ in range(40)]
+    model = GeneModel.train_from_cds(train_cds)
+    assert model.dicodon_logusage is not None
+    params = GenePredParams(model=model, min_gene_len=90)
+
+    # plant 3 genes in AT-rich background; measure nt-level sens/precision
+    genes = [_make_cds(rng, 120, favored).encode() for _ in range(3)]
+    seq = _random_at_rich(rng, 300)
+    truth = np.zeros(0, bool)
+    spans = []
+    for g in genes:
+        spans.append((len(seq), len(seq) + len(g)))
+        seq += g + _random_at_rich(rng, 300)
+    pred = predict_genes(seq, params)
+    mask_true = np.zeros(len(seq), bool)
+    for s, e in spans:
+        mask_true[s:e] = True
+    mask_pred = np.zeros(len(seq), bool)
+    for g in pred:
+        mask_pred[g.start:g.end] = True
+    tp = (mask_true & mask_pred).sum()
+    sens = tp / mask_true.sum()
+    prec = tp / max(mask_pred.sum(), 1)
+    assert sens > 0.85, f"sensitivity {sens:.3f}"
+    assert prec > 0.85, f"precision {prec:.3f}"
+
+
+def test_gene_model_save_load_and_cg_bins(tmp_path):
+    from gsearch_tpu.models.genepred import GeneModel
+
+    rng = np.random.default_rng(11)
+    favored = [c for c, aa in _CODON_AA.items() if aa not in "*"]
+    cds = [_make_cds(rng, 100, favored).encode() for _ in range(10)]
+    m = GeneModel.train_from_cds(cds, nb_bins=5)
+    p = tmp_path / "model.npz"
+    m.save(str(p))
+    m2 = GeneModel.load(str(p))
+    np.testing.assert_array_equal(m.codon_logusage, m2.codon_logusage)
+    np.testing.assert_array_equal(m.dicodon_logusage, m2.dicodon_logusage)
+    # bin selection: nearest CG bin
+    lo_tables = m2.tables_for(0.0)
+    hi_tables = m2.tables_for(100.0)
+    assert lo_tables[0].shape == (64,) and hi_tables[1].shape == (64, 64)
+
+
+def test_fgs_gene_file_loader(tmp_path):
+    """Round-trip a synthetic FragGeneScan-format `gene` train file."""
+    from gsearch_tpu.models.genepred import GeneModel
+
+    rng = np.random.default_rng(12)
+    lines = []
+    for cg in (40, 50):
+        lines.append(str(cg))
+        for _period in range(6):
+            for _dimer in range(16):
+                row = rng.dirichlet(np.ones(4))
+                lines.append(" ".join(f"{x:.6f}" for x in row))
+    p = tmp_path / "gene"
+    p.write_text("\n".join(lines) + "\n")
+    m = GeneModel.from_fgs_gene_file(str(p))
+    assert list(m.cg_bins) == [40.0, 50.0]
+    assert m.dicodon_logusage.shape == (2, 64, 64)
+    # rows are normalized log-distributions
+    np.testing.assert_allclose(
+        np.exp(m.dicodon_logusage[0]).sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_read_mode_incomplete_genes():
+    """-w 0: genes cut by read boundaries are still called (no start/stop
+    required) — the reference's read mode (FragGeneScanRs.rs -w 0)."""
+    rng = np.random.default_rng(13)
+    gene = _biased_gene(rng, 200)  # 606 nt
+    seq = _random_at_rich(rng, 150) + gene + _random_at_rich(rng, 150)
+    # a 400nt "read" starting mid-gene: contains neither start nor stop
+    read = seq[300:700]
+    params = _biased_params()
+    params.whole_genes_only = False
+    params.min_gene_len = 60
+    pred = predict_genes(read, params)
+    assert pred, "read mode must call the gene fragment"
+    total = sum(g.end - g.start for g in pred)
+    assert total > 200, f"called only {total}nt"
+    # whole-gene mode must NOT call it (no start/stop in the read)
+    params.whole_genes_only = True
+    assert not predict_genes(read, params)
