@@ -54,10 +54,15 @@ class ProbMinHashSketcher(SketcherBase):
     SIG_DTYPE = np.uint32
 
     arrivals: int = _ARRIVALS
-    # multiplicities are per-block: a k-mer split across streamed pieces is
-    # under-weighted (each piece counts only its own occurrences), so keep
-    # whole genomes in one block as far as memory allows. Genomes beyond
-    # 8M bases stream with that documented bias (STATUS.md).
+    # Multiplicities are per-piece for streamed (>8 Mb) genomes.  Because
+    # the Gamma sequence is seeded by the element alone, min-combining
+    # pieces yields an effective weight max_i(m_i) instead of sum_i(m_i)
+    # — and J_P is scale-invariant, so uniform duplication cancels exactly.
+    # Measured (test_probminhash_streaming_bias): zero bias on random and
+    # uniformly-duplicated genomes; an adversarial half-duplicated-across-
+    # pieces layout shifts J_P by ~0.05.  Exact streaming J_P would need
+    # global multiplicities (a host count table, as the reference holds);
+    # not worth it for the bias profile of real genomes.
     MAX_BLOCK_LOG2 = 23
     # NOTE: the packed-payload pre-reduce fast path (ops/race.py) is NOT
     # safe here: its top-K-per-window bound assumes a dart density that
