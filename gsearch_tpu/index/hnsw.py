@@ -376,11 +376,18 @@ class HnswIndex:
         if full_bytes <= _RERANK_DEVICE_BYTES:
             q_full = np.zeros((qb, self.sketch_size), np.uint32)
             q_full[:nq] = _as_u32(queries)
-            d, ids2 = _rerank_device(
-                self._device_full_sigs(), jnp.asarray(q_full), ids, jnp.int32(n),
-                knbn=knbn, s_true=self.sketch_size,
-            )
-            return np.asarray(d)[:nq], np.asarray(ids2)[:nq]
+            full = self._device_full_sigs()
+            qc = min(qb, 256)  # bounds the gathered [Qc, R, S] block
+            outs = [
+                _rerank_device(
+                    full, jnp.asarray(q_full[st:st + qc]), ids[st:st + qc],
+                    jnp.int32(n), knbn=knbn, s_true=self.sketch_size,
+                )
+                for st in range(0, qb, qc)
+            ]
+            d = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
+            ids2 = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)
+            return d[:nq], ids2[:nq]
 
         # host rerank: numpy gather from the resident signature matrix
         ids_h = np.asarray(ids)[:nq]
@@ -620,25 +627,16 @@ def _graph_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, r, hops, expand):
 
 @functools.partial(jax.jit, static_argnames=("knbn", "s_true"))
 def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true):
-    """Full-signature rerank of [Q, R] candidates, chunked over queries so
-    the gathered [chunk, R, S] block stays small."""
-    qb, r = ids.shape
-    chunk = max(1, min(128, qb))
-    pad = (-qb) % chunk
-    if pad:
-        q_full = jnp.concatenate([q_full, jnp.zeros((pad,) + q_full.shape[1:], q_full.dtype)])
-        ids = jnp.concatenate([ids, jnp.zeros((pad, r), ids.dtype)])
-    qc = q_full.reshape(-1, chunk, q_full.shape[-1])
-    idc = ids.reshape(-1, chunk, r)
+    """Full-signature rerank of one [Qc, R] candidate chunk.
 
-    def f(args):
-        q, i = args
-        rows = jnp.take(sigs_full, i, axis=0)  # [chunk, R, S]
-        eq = (rows == q[:, None, :]).sum(-1).astype(jnp.float32)
-        return (jnp.float32(s_true) - eq) / jnp.float32(s_true)
-
-    d = jax.lax.map(f, (qc, idc)).reshape(-1, r)[:qb]
-    ids = ids[:qb]
+    Deliberately loop-free: wrapping the gather in lax.map/while makes XLA
+    hoist a layout-converted COPY of the whole [N, S] matrix into the loop
+    body (11.75 GB at 262k x 12000 — an instant OOM on v5e).  The caller
+    chunks over queries host-side instead, so the gathered block stays a
+    manageable [Qc, R, S]."""
+    rows = jnp.take(sigs_full, ids, axis=0)  # [Qc, R, S]
+    eq = (rows == q_full[:, None, :]).sum(-1).astype(jnp.float32)
+    d = (jnp.float32(s_true) - eq) / jnp.float32(s_true)
     d = jnp.where(ids < n, d, jnp.inf)
     neg, sel = jax.lax.top_k(-d, knbn)
     return -neg, jnp.take_along_axis(ids, sel, axis=1)

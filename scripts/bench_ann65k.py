@@ -1,0 +1,71 @@
+"""The `ann` workflow at the reference's operating point (~65k genomes):
+k-NN graph extraction + hubness + 2-D embedding, timed on the real chip.
+
+The reference runs `ann --embed` on GTDB-scale databases
+(/root/reference/src/bin/gsearch.rs:537-561); this measures the same path
+end-to-end: batched self-search k-NN graph -> hubness stats -> full-batch
+negative-sampling embedding -> quality estimate.
+
+Usage: python scripts/bench_ann65k.py [N] [S]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(m):
+    print(f"[ann-bench {time.strftime('%H:%M:%S')}] {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 65_536
+    s = int(sys.argv[2]) if len(sys.argv) > 2 else 12_000
+
+    from gsearch_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    from gsearch_tpu.analysis.embed import Embedder, EmbedderParams
+    from gsearch_tpu.analysis.kgraph import Hubness, kgraph_from_index
+    from gsearch_tpu.index.flat import FlatIndex
+
+    log(f"backend={jax.default_backend()} N={n} S={s}")
+    rng = np.random.default_rng(0)
+    centers = rng.integers(0, 1 << 24, size=(max(n // 64, 8), s)).astype(np.float32)
+    sigs = np.repeat(centers, 64, axis=0)[:n]
+    mask = rng.random(sigs.shape) < rng.uniform(0.05, 0.5, size=(n, 1))
+    sigs[mask] = rng.random(int(mask.sum())).astype(np.float32)
+
+    idx = FlatIndex(sketch_size=s, sig_dtype=np.float32)
+    idx.insert(sigs)
+
+    t0 = time.perf_counter()
+    kg = kgraph_from_index(idx, knbn=8)
+    t_kgraph = time.perf_counter() - t0
+    hub = Hubness(kg)
+    s3m = hub.get_standard3m()
+    log(f"kgraph: {t_kgraph:.1f}s for {n} nodes; hubness s3m={s3m:.3f}")
+
+    t0 = time.perf_counter()
+    emb = Embedder(kg, EmbedderParams())
+    emb.embed()
+    t_embed = time.perf_counter() - t0
+    q = emb.get_quality_estimate_from_edge_length(500)
+    log(f"embed: {t_embed:.1f}s; quality={q:.3f} (edge/random length ratio, small=good)")
+
+    out = {"n": n, "s": s, "kgraph_s": round(t_kgraph, 1),
+           "embed_s": round(t_embed, 1), "hubness_s3m": round(float(s3m), 3),
+           "embed_quality": round(float(q), 4)}
+    with open("ANN_BENCH.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
