@@ -325,8 +325,11 @@ class HnswIndex:
         if self._device_full is None:
             n = self.nb_points
             nb = _next_pow2(n)
-            full = np.zeros((nb + 1, self.sketch_size), np.uint32)
-            full[:n] = _as_u32(self._sigs)
+            sp = _round_up(self.sketch_size, 128)  # lane-align for the
+            # pallas gather-rerank kernel; db column pads are 0, query
+            # pads are 1, so padding never counts as an equal slot
+            full = np.zeros((nb + 1, sp), np.uint32)
+            full[:n, : self.sketch_size] = _as_u32(self._sigs)
             self._device_full = jnp.asarray(full)
         return self._device_full
 
@@ -372,22 +375,19 @@ class HnswIndex:
         if no_rerank:
             return np.asarray(dp)[:nq], np.asarray(ids)[:nq]
 
-        full_bytes = (_next_pow2(n) + 1) * self.sketch_size * 4
+        full_bytes = (_next_pow2(n) + 1) * _round_up(self.sketch_size, 128) * 4
         if full_bytes <= _RERANK_DEVICE_BYTES:
-            q_full = np.zeros((qb, self.sketch_size), np.uint32)
-            q_full[:nq] = _as_u32(queries)
+            spad = _round_up(self.sketch_size, 128)
+            q_full = np.ones((qb, spad), np.uint32)
+            q_full[:nq, : self.sketch_size] = _as_u32(queries)
+            q_full[:, self.sketch_size:] = 1  # != db column pads (0)
             full = self._device_full_sigs()
-            qc = min(qb, 256)  # bounds the gathered [Qc, R, S] block
-            outs = [
-                _rerank_device(
-                    full, jnp.asarray(q_full[st:st + qc]), ids[st:st + qc],
-                    jnp.int32(n), knbn=knbn, s_true=self.sketch_size,
-                )
-                for st in range(0, qb, qc)
-            ]
-            d = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
-            ids2 = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)
-            return d[:nq], ids2[:nq]
+            interp = jax.default_backend() != "tpu"
+            d, ids2 = _rerank_device(
+                full, jnp.asarray(q_full), ids, jnp.int32(n),
+                knbn=knbn, s_true=self.sketch_size, interpret=interp,
+            )
+            return np.asarray(d)[:nq], np.asarray(ids2)[:nq]
 
         # host rerank: numpy gather from the resident signature matrix
         ids_h = np.asarray(ids)[:nq]
@@ -625,18 +625,19 @@ def _graph_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, r, hops, expand):
     return beam_d[:, :r], beam_ids[:, :r]
 
 
-@functools.partial(jax.jit, static_argnames=("knbn", "s_true"))
-def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true):
-    """Full-signature rerank of one [Qc, R] candidate chunk.
+@functools.partial(jax.jit, static_argnames=("knbn", "s_true", "interpret"))
+def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true, interpret):
+    """Full-signature rerank of the [Q, R] beam candidates.
 
-    Deliberately loop-free: wrapping the gather in lax.map/while makes XLA
-    hoist a layout-converted COPY of the whole [N, S] matrix into the loop
-    body (11.75 GB at 262k x 12000 — an instant OOM on v5e).  The caller
-    chunks over queries host-side instead, so the gathered block stays a
-    manageable [Qc, R, S]."""
-    rows = jnp.take(sigs_full, ids, axis=0)  # [Qc, R, S]
-    eq = (rows == q_full[:, None, :]).sum(-1).astype(jnp.float32)
-    d = (jnp.float32(s_true) - eq) / jnp.float32(s_true)
+    Uses the pallas scalar-prefetch gather kernel, NOT jnp.take: XLA's
+    gather on the resident [N, S] matrix materializes a layout-converted
+    COPY of the whole operand (11.75 GB at 262k x 12000 — an instant OOM
+    on v5e), whether or not the gather sits in a loop.  The pallas kernel
+    DMAs exactly the Q*R candidate rows instead."""
+    from ..ops.distance import gather_hamming_pallas
+
+    d = gather_hamming_pallas(sigs_full, q_full, ids, s_true=s_true,
+                              interpret=interpret)
     d = jnp.where(ids < n, d, jnp.inf)
     neg, sel = jax.lax.top_k(-d, knbn)
     return -neg, jnp.take_along_axis(ids, sel, axis=1)

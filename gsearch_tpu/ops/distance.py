@@ -151,6 +151,49 @@ def _round_up_int(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _gather_eq_kernel(ids_ref, q_ref, row_ref, o_ref, *, s_true: int):
+    eq = (row_ref[...] == q_ref[...]).sum().astype(jnp.float32)
+    o_ref[0, 0] = (jnp.float32(s_true) - eq) / jnp.float32(s_true)
+
+
+@functools.partial(jax.jit, static_argnames=("s_true", "interpret"))
+def gather_hamming_pallas(
+    db: jnp.ndarray, q: jnp.ndarray, ids: jnp.ndarray, *, s_true: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Row-gather + equal-count distance without an XLA gather.
+
+    db [N, Sp] u32 (Sp a multiple of 128; column pads must differ between
+    db and q so they never count equal), q [Qc, Sp] u32, ids [Qc, R] i32
+    -> [Qc, R] f32 Hamming-fraction distances d(q_i, db[ids[i, j]]).
+
+    XLA's gather on a [262k, 12000] matrix materializes a layout-converted
+    COPY of the whole operand (11.75 GB — instant OOM next to the resident
+    matrix).  Here the candidate ids are scalar-prefetched and each grid
+    step DMAs exactly the [1, Sp] row it needs from HBM — total traffic is
+    Qc*R rows, not N."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    qc, r = ids.shape
+    sp = db.shape[1]
+    assert sp % _LANE == 0, f"pad signature columns to {_LANE} (got {sp})"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qc, r),
+        in_specs=[
+            pl.BlockSpec((1, sp), lambda i, j, ids_ref: (i, 0)),
+            pl.BlockSpec((1, sp), lambda i, j, ids_ref: (ids_ref[i, j], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i, j, ids_ref: (i, j)),
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_eq_kernel, s_true=s_true),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((qc, r), jnp.float32),
+        interpret=interpret,
+    )(ids, q, db)
+
+
 def hamming_frac(q: jnp.ndarray, db: jnp.ndarray, impl: str | None = None) -> jnp.ndarray:
     """Dispatch: Pallas on TPU, XLA elsewhere (and as oracle)."""
     if impl is None:

@@ -39,7 +39,42 @@ from ..utils import get_logger
 log = get_logger(__name__)
 
 
+def initialize_multihost(coordinator: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> int:
+    """Multi-host (DCN) bring-up: one call per host before building a mesh.
+
+    Wraps jax.distributed.initialize; afterwards jax.devices() spans every
+    host's chips and make_device_mesh lays the 'd' axis out so that
+    contiguous row shards stay host-local — the all_gather in the top-k
+    merge then rides ICI within a host and crosses DCN only once per hop
+    of the (tiny) per-shard candidate lists.  Arguments default to the
+    standard JAX env vars (COORDINATOR_ADDRESS etc.) so TPU pods with
+    preconfigured environments can call it with no arguments.
+
+    Returns the process index.  Replaces the reference's "run the bash
+    scripts on each machine by hand" scale-out story (README.md:402-413).
+    """
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    log.info("multihost: process %d/%d, %d global devices",
+             jax.process_index(), jax.process_count(), len(jax.devices()))
+    return jax.process_index()
+
+
 def make_device_mesh(n_devices: int | None = None, two_d: bool = False) -> Mesh:
+    """1-D ('d',) or 2-D ('d','s') mesh over the first n devices.
+
+    jax.devices() orders devices process-major, so the row-shard axis 'd'
+    keeps contiguous database shards on one host's chips — ICI-local
+    gathers, DCN only for the final candidate merge (multi-host runs must
+    call initialize_multihost first)."""
     devs = jax.devices()
     n = n_devices or len(devs)
     if two_d and n % 2 == 0 and n >= 4:
