@@ -55,8 +55,8 @@ def test_genepred_train_file(tmp_path):
     usage = {"ATG": 0.5, "GCC": 0.5}
     p = tmp_path / "train.json"
     p.write_text(json.dumps({"codon_usage": usage}))
-    logu = load_train_model(str(p))
-    assert logu.shape == (64,)
+    logu, model = load_train_model(str(p))
+    assert model is None and logu.shape == (64,)
     assert logu[_codon_id("ATG")] > logu[_codon_id("AAA")]
     std = load_train_model("standard")
     assert std.shape == (64,)
