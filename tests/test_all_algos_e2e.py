@@ -58,5 +58,5 @@ def test_genepred_train_file(tmp_path):
     logu, model = load_train_model(str(p))
     assert model is None and logu.shape == (64,)
     assert logu[_codon_id("ATG")] > logu[_codon_id("AAA")]
-    std = load_train_model("standard")
-    assert std.shape == (64,)
+    std, model = load_train_model("standard")
+    assert model is None and std.shape == (64,)
