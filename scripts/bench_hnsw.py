@@ -99,15 +99,18 @@ def main():
     import functools
     from gsearch_tpu.ops.distance import hamming_frac_pallas
 
-    full = idx._device_full_sigs()  # [nb+1, S] u32
-    q_u32 = queries.view(np.uint32)
-    q_dev = jnp.asarray(q_u32)
+    full = idx._device_full_sigs()  # [nb+1, Sp] u32 (columns lane-padded)
+    sp = full.shape[1]
+    q_pad = np.ones((nq, sp), np.uint32)  # col pads=1 vs db's 0: never equal
+    q_pad[:, :s] = queries.view(np.uint32)
+    q_dev = jnp.asarray(q_pad)
     chunk = 16384
 
     @functools.partial(jax.jit, static_argnames=("k", "chunk"))
     def oracle_chunk(full, q, start, n_live, *, k, chunk):
         db = jax.lax.dynamic_slice_in_dim(full, start, chunk, axis=0)
-        d = hamming_frac_pallas(q, db)
+        d = hamming_frac_pallas(q, db)  # normalized by sp; rescale to S
+        d = (d * jnp.float32(sp) - jnp.float32(sp - s)) / jnp.float32(s)
         col = start + jnp.arange(chunk, dtype=jnp.int32)
         d = jnp.where((col < n_live)[None, :], d, jnp.inf)
         neg, ii = jax.lax.top_k(-d, k)
