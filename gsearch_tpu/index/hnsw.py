@@ -146,9 +146,12 @@ class HnswIndex:
         t = self._entry_tier_size(n)
         if t == 0:
             return np.empty((0,), dtype=np.int32)
-        # deterministic low-discrepancy sample over insertion order
-        step = max(1, n // t)
-        return np.arange(0, n, step, dtype=np.int32)[:t]
+        # deterministic golden-stride sample: an arange stride can alias
+        # with the corpus layout (e.g. cluster-contiguous generation gives
+        # one entry every k-th CLUSTER and recall collapses to the covered
+        # fraction); the Fibonacci-hash stride is order-free
+        idx = (np.arange(t, dtype=np.uint64) * np.uint64(2654435761)) % np.uint64(n)
+        return np.unique(idx.astype(np.int32))
 
     def _refresh_entries(self) -> None:
         self._entry_ids = self._entries_for(self.nb_points)
@@ -180,6 +183,11 @@ class HnswIndex:
         hops = max(4, int(2 * math.log2(cap)) + ef_build // (2 * expand))
         tb = _next_pow2(max(self._entry_tier_size(sent), 16))
         rin = 4  # incoming reverse links kept per target per batch
+        # row partition: reverse merges may only touch the near region;
+        # the far region holds the heuristic's diverse long links, which
+        # keep dense clusters connected to the rest of the graph (a pure
+        # distance-eviction merge would crowd them out again)
+        m_near = max(m0 - max(m0 // 4, min(8, m0 // 2)), rin)
 
         # --- device-resident build state ------------------------------------
         sigs_p = np.full((sent + 1, sp), 0xFFFFFFFF, np.uint32)
@@ -220,23 +228,40 @@ class HnswIndex:
             cand_d[off] = np.inf
             finite = np.isfinite(cand_d)
             good = keep & finite
-            # stable order: heuristic-kept first, then pruned-but-finite
-            # (keeping_pruned spirit — only to fill spare degree), inf last;
-            # within each class the top-C distance order is preserved
-            cls = (~good).astype(np.int8) + (~finite).astype(np.int8)
-            order = np.argsort(cls, axis=1, kind="stable")
-            rows_ids = np.take_along_axis(cand_ids, order, axis=1)[:, :m0]
-            rows_d = np.take_along_axis(cand_d, order, axis=1)[:, :m0].astype(np.float32)
-            rows_ok = np.take_along_axis(finite, order, axis=1)[:, :m0]
-            rows_ids = np.where(rows_ok, rows_ids, sent).astype(np.int32)
-            rows_d = np.where(rows_ok, rows_d, np.inf).astype(np.float32)
+            # partitioned forward rows:
+            #   near region [0, m_near): nearest candidates by distance
+            #     (pruned ones included — local recall needs dense short
+            #     links),
+            #   far region [m_near, m0): heuristic SURVIVORS beyond the
+            #     near cutoff — the diverse long links that keep dense
+            #     clusters reachable.  A plain nearest-only fill measurably
+            #     disconnects clusters (262k recall collapsed to the entry
+            #     tier's cluster-coverage rate); the reference relies on
+            #     the same heuristic with keeping_pruned(false),
+            #     dnasketch.rs:159-160.
+            rows_ids = np.full((B, m0), sent, dtype=np.int32)
+            rows_d = np.full((B, m0), np.inf, dtype=np.float32)
+            fin_rank = np.cumsum(finite, axis=1) - 1
+            near_take = finite & (fin_rank < m_near)
+            r_i, _ = np.nonzero(near_take)
+            rows_ids[r_i, fin_rank[near_take]] = cand_ids[near_take]
+            rows_d[r_i, fin_rank[near_take]] = cand_d[near_take]
+            m_far = m0 - m_near
+            beyond = finite & (fin_rank >= m_near)
+            # far slots: heuristic survivors beyond the cutoff first (the
+            # long links), then next-nearest pruned candidates to keep the
+            # local graph dense when few survivors exist
+            key = np.where(beyond & good, np.int8(0),
+                           np.where(beyond, np.int8(1), np.int8(2)))
+            o2 = np.argsort(key, axis=1, kind="stable")
+            far_ids = np.take_along_axis(cand_ids, o2, axis=1)[:, :m_far]
+            far_d = np.take_along_axis(cand_d, o2, axis=1)[:, :m_far]
+            far_ok = np.take_along_axis(key < 2, o2, axis=1)[:, :m_far]
+            rows_ids[:, m_near:] = np.where(far_ok, far_ids, sent)
+            rows_d[:, m_near:] = np.where(far_ok, far_d.astype(np.float32), np.inf)
             if b_real < B:
                 rows_ids[b_real:] = sent
                 rows_d[b_real:] = np.inf
-            if rows_ids.shape[1] < m0:
-                padc = m0 - rows_ids.shape[1]
-                rows_ids = np.pad(rows_ids, ((0, 0), (0, padc)), constant_values=sent)
-                rows_d = np.pad(rows_d, ((0, 0), (0, padc)), constant_values=np.inf)
 
             # ---- host: reverse-link grouping (sorted triples, capped) ------
             me = (n + np.arange(B, dtype=np.int32))[:, None]
@@ -270,6 +295,7 @@ class HnswIndex:
                 d_nbrs, d_nbrd,
                 jnp.asarray(rows_ids), jnp.asarray(rows_d), jnp.int32(n),
                 jnp.asarray(inc_tgt), jnp.asarray(inc_ids), jnp.asarray(inc_d),
+                m_near=m_near,
             )
             n += b_real
 
@@ -325,9 +351,9 @@ class HnswIndex:
         if self._device_full is None:
             n = self.nb_points
             nb = _next_pow2(n)
-            sp = _round_up(self.sketch_size, 128)  # lane-align for the
-            # pallas gather-rerank kernel; db column pads are 0, query
-            # pads are 1, so padding never counts as an equal slot
+            sp = _round_up(self.sketch_size, 1024)  # tile-align for the
+            # pallas gather-rerank kernel (rows view as [8, Sp/8]); db
+            # column pads are 0, query pads 1: never an equal slot
             full = np.zeros((nb + 1, sp), np.uint32)
             full[:n, : self.sketch_size] = _as_u32(self._sigs)
             self._device_full = jnp.asarray(full)
@@ -375,17 +401,17 @@ class HnswIndex:
         if no_rerank:
             return np.asarray(dp)[:nq], np.asarray(ids)[:nq]
 
-        full_bytes = (_next_pow2(n) + 1) * _round_up(self.sketch_size, 128) * 4
+        full_bytes = (_next_pow2(n) + 1) * _round_up(self.sketch_size, 1024) * 4
         if full_bytes <= _RERANK_DEVICE_BYTES:
-            spad = _round_up(self.sketch_size, 128)
+            spad = _round_up(self.sketch_size, 1024)
             q_full = np.ones((qb, spad), np.uint32)
             q_full[:nq, : self.sketch_size] = _as_u32(queries)
             q_full[:, self.sketch_size:] = 1  # != db column pads (0)
             full = self._device_full_sigs()
-            interp = jax.default_backend() != "tpu"
             d, ids2 = _rerank_device(
                 full, jnp.asarray(q_full), ids, jnp.int32(n),
-                knbn=knbn, s_true=self.sketch_size, interpret=interp,
+                knbn=knbn, s_true=self.sketch_size,
+                use_pallas=jax.default_backend() == "tpu",
             )
             return np.asarray(d)[:nq], np.asarray(ids2)[:nq]
 
@@ -594,25 +620,35 @@ def _insert_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, C, hops, expand):
     return sigs_p, cand_ids, cand_d, keep
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _insert_apply(nbrs_p, nbr_d, rows_ids, rows_d, n, inc_tgt, inc_ids, inc_d):
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("m_near",))
+def _insert_apply(nbrs_p, nbr_d, rows_ids, rows_d, n, inc_tgt, inc_ids, inc_d,
+                  *, m_near):
     """Write the batch's forward rows at n and merge reverse links into
-    their (unique) targets by cached link distance."""
+    their (unique) targets by cached link distance.
+
+    The merge only touches each target row's NEAR region [0, m_near);
+    columns [m_near, M0) hold the insert-time heuristic's far/diverse
+    survivors and are immutable — distance eviction would otherwise purge
+    exactly the links that keep dense clusters reachable."""
     nbrs_p = jax.lax.dynamic_update_slice(nbrs_p, rows_ids, (n, jnp.int32(0)))
     nbr_d = jax.lax.dynamic_update_slice(nbr_d, rows_d, (n, jnp.int32(0)))
 
-    ex_ids = jnp.take(nbrs_p, inc_tgt, axis=0)  # [U, M0]
-    ex_d = jnp.take(nbr_d, inc_tgt, axis=0)
+    ex_ids = jnp.take(nbrs_p, inc_tgt, axis=0)[:, :m_near]  # [U, m_near]
+    ex_d = jnp.take(nbr_d, inc_tgt, axis=0)[:, :m_near]
     # drop incoming links already present (batch-mate forward duplicates)
     dup = (inc_ids[:, :, None] == ex_ids[:, None, :]).any(-1)
     inc_d = jnp.where(dup, jnp.inf, inc_d)
     comb_ids = jnp.concatenate([ex_ids, inc_ids], axis=1)
     comb_d = jnp.concatenate([ex_d, inc_d], axis=1)
-    neg, sel = jax.lax.top_k(-comb_d, nbrs_p.shape[1])
+    neg, sel = jax.lax.top_k(-comb_d, m_near)
     merged_ids = jnp.take_along_axis(comb_ids, sel, axis=1)
     merged_ids = jnp.where(jnp.isfinite(-neg), merged_ids, nbrs_p.shape[0] - 1)
-    nbrs_p = nbrs_p.at[inc_tgt].set(merged_ids)
-    nbr_d = nbr_d.at[inc_tgt].set(-neg)
+    rows_now = jnp.take(nbrs_p, inc_tgt, axis=0)
+    drow_now = jnp.take(nbr_d, inc_tgt, axis=0)
+    rows_new = jnp.concatenate([merged_ids, rows_now[:, m_near:]], axis=1)
+    drow_new = jnp.concatenate([-neg, drow_now[:, m_near:]], axis=1)
+    nbrs_p = nbrs_p.at[inc_tgt].set(rows_new)
+    nbr_d = nbr_d.at[inc_tgt].set(drow_new)
     return nbrs_p, nbr_d
 
 
@@ -625,19 +661,24 @@ def _graph_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, r, hops, expand):
     return beam_d[:, :r], beam_ids[:, :r]
 
 
-@functools.partial(jax.jit, static_argnames=("knbn", "s_true", "interpret"))
-def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true, interpret):
+@functools.partial(jax.jit, static_argnames=("knbn", "s_true", "use_pallas"))
+def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true, use_pallas):
     """Full-signature rerank of the [Q, R] beam candidates.
 
-    Uses the pallas scalar-prefetch gather kernel, NOT jnp.take: XLA's
-    gather on the resident [N, S] matrix materializes a layout-converted
-    COPY of the whole operand (11.75 GB at 262k x 12000 — an instant OOM
-    on v5e), whether or not the gather sits in a loop.  The pallas kernel
-    DMAs exactly the Q*R candidate rows instead."""
-    from ..ops.distance import gather_hamming_pallas
+    On TPU this uses the pallas manual-DMA gather kernel, NOT jnp.take:
+    XLA's gather on the resident [N, S] matrix materializes a layout-
+    converted COPY of the whole operand (11.75 GB at 262k x 12000 — an
+    instant OOM on v5e), whether or not the gather sits in a loop.  The
+    pallas kernel DMAs exactly the Q*R candidate rows instead.  On CPU the
+    plain gather is fine (host RAM)."""
+    if use_pallas:
+        from ..ops.distance import gather_hamming_pallas
 
-    d = gather_hamming_pallas(sigs_full, q_full, ids, s_true=s_true,
-                              interpret=interpret)
+        d = gather_hamming_pallas(sigs_full, q_full, ids, s_true=s_true)
+    else:
+        rows = jnp.take(sigs_full, ids, axis=0)  # [Q, R, Sp]
+        eq = (rows == q_full[:, None, :]).sum(-1).astype(jnp.float32)
+        d = (jnp.float32(s_true) - eq) / jnp.float32(s_true)
     d = jnp.where(ids < n, d, jnp.inf)
     neg, sel = jax.lax.top_k(-d, knbn)
     return -neg, jnp.take_along_axis(ids, sel, axis=1)

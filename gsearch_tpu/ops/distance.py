@@ -151,9 +151,33 @@ def _round_up_int(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _gather_eq_kernel(ids_ref, q_ref, row_ref, o_ref, *, s_true: int):
-    eq = (row_ref[...] == q_ref[...]).sum().astype(jnp.float32)
-    o_ref[0, 0] = (jnp.float32(s_true) - eq) / jnp.float32(s_true)
+def _gather_eq_kernel(ids_ref, q_ref, db_ref, o_ref, rowbuf, sem,
+                      *, s_true: int, r: int, qblk: int):
+    """One grid step scores `qblk` queries against their R candidates.
+
+    db_ref [N, 8, Sp/8] lives in HBM (memory_space ANY); each candidate
+    row is DMA'd into the [R, 8, Sp/8] VMEM scratch by its scalar-
+    prefetched id (slicing only the leading, untiled dimension keeps
+    Mosaic's (8, 128) tile alignment), then one vectorized compare
+    produces the query's whole distance row."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    i0 = pl.program_id(0) * qblk
+    for qi in range(qblk):  # static unroll: o_ref row stores stay static
+        def cpy(j, _):
+            idx = ids_ref[i0 + qi, j]
+            cp = pltpu.make_async_copy(
+                db_ref.at[pl.ds(idx, 1)], rowbuf.at[pl.ds(j, 1)], sem)
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, r, cpy, 0)
+        # keep every intermediate rank-2 (Mosaic layouts want >= 2 dims)
+        eq2 = (rowbuf[...] == q_ref[qi][None]).astype(jnp.float32).sum(axis=2)
+        eqc = eq2.sum(axis=1, keepdims=True)  # [r, 1]
+        d_col = (jnp.float32(s_true) - eqc) / jnp.float32(s_true)
+        o_ref[pl.ds(qi, 1), :] = d_col.T  # [1, r] row store (static qi)
 
 
 @functools.partial(jax.jit, static_argnames=("s_true", "interpret"))
@@ -163,35 +187,45 @@ def gather_hamming_pallas(
 ) -> jnp.ndarray:
     """Row-gather + equal-count distance without an XLA gather.
 
-    db [N, Sp] u32 (Sp a multiple of 128; column pads must differ between
-    db and q so they never count equal), q [Qc, Sp] u32, ids [Qc, R] i32
-    -> [Qc, R] f32 Hamming-fraction distances d(q_i, db[ids[i, j]]).
+    db [N, Sp] u32 (Sp a multiple of 1024; column pads must differ between
+    db and q so they never count equal), q [Qc, Sp] u32 (Qc a multiple of
+    8), ids [Qc, R] i32 -> [Qc, R] f32 distances d(q_i, db[ids[i, j]]).
 
     XLA's gather on a [262k, 12000] matrix materializes a layout-converted
     COPY of the whole operand (11.75 GB — instant OOM next to the resident
-    matrix).  Here the candidate ids are scalar-prefetched and each grid
-    step DMAs exactly the [1, Sp] row it needs from HBM — total traffic is
-    Qc*R rows, not N."""
+    matrix).  Here the matrix stays in HBM untouched: candidate ids are
+    scalar-prefetched and each row is manually DMA'd into a VMEM scratch —
+    total traffic is Qc*R rows, not N.  Rows are viewed as [8, Sp/8] tiles
+    so the single-row DMA slices only an untiled leading dimension."""
     from jax.experimental.pallas import tpu as pltpu
 
     qc, r = ids.shape
     sp = db.shape[1]
-    assert sp % _LANE == 0, f"pad signature columns to {_LANE} (got {sp})"
+    assert sp % (8 * _LANE) == 0, f"pad signature columns to {8 * _LANE} (got {sp})"
+    sp8 = sp // 8
+    db3 = db.reshape(db.shape[0], 8, sp8)
+    q3 = q.reshape(qc, 8, sp8)
+    qblk = 8
+    assert qc % qblk == 0, f"query count must be a multiple of {qblk}"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(qc, r),
+        grid=(qc // qblk,),
         in_specs=[
-            pl.BlockSpec((1, sp), lambda i, j, ids_ref: (i, 0)),
-            pl.BlockSpec((1, sp), lambda i, j, ids_ref: (ids_ref[i, j], 0)),
+            pl.BlockSpec((qblk, 8, sp8), lambda i, ids_ref: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, j, ids_ref: (i, j)),
+        out_specs=pl.BlockSpec((qblk, r), lambda i, ids_ref: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((r, 8, sp8), db.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     return pl.pallas_call(
-        functools.partial(_gather_eq_kernel, s_true=s_true),
+        functools.partial(_gather_eq_kernel, s_true=s_true, r=r, qblk=qblk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((qc, r), jnp.float32),
         interpret=interpret,
-    )(ids, q, db)
+    )(ids, q3, db3)
 
 
 def hamming_frac(q: jnp.ndarray, db: jnp.ndarray, impl: str | None = None) -> jnp.ndarray:
