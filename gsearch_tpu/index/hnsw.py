@@ -259,6 +259,22 @@ class HnswIndex:
             far_ok = np.take_along_axis(key < 2, o2, axis=1)[:, :m_far]
             rows_ids[:, m_near:] = np.where(far_ok, far_ids, sent)
             rows_d[:, m_near:] = np.where(far_ok, far_d.astype(np.float32), np.inf)
+            # connectivity insurance: the last few far slots are
+            # pseudo-random long links (golden-stride in the node id).  A
+            # candidate pool of the C nearest can sit entirely inside one
+            # dense cluster, leaving it unreachable; degree-4 random links
+            # make the whole graph one component regardless of geometry
+            # (links may point at not-yet-inserted ids — the beam masks
+            # ids >= live n until they exist)
+            rl = min(4, m_far)
+            me_col = (n + np.arange(B, dtype=np.uint64))[:, None]
+            jj = np.arange(1, rl + 1, dtype=np.uint64)[None, :]
+            rnd = ((me_col * np.uint64(0x9E3779B1) + jj * np.uint64(0x85EBCA77))
+                   % np.uint64(n_total)).astype(np.int32)
+            rnd = np.where(rnd == (n + np.arange(B))[:, None],
+                           (rnd + 1) % n_total, rnd)
+            rows_ids[:, m0 - rl:] = rnd
+            rows_d[:, m0 - rl:] = np.inf
             if b_real < B:
                 rows_ids[b_real:] = sent
                 rows_d[b_real:] = np.inf
