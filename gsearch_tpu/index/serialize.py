@@ -50,10 +50,12 @@ def get_index_kind(dirpath: str) -> dict:
 def load_index(dirpath: str):
     from .flat import FlatIndex
     from .hnsw import HnswIndex
+    from .sharded import ShardedHnswIndex
 
     meta = get_index_kind(dirpath)
     prefix = os.path.join(dirpath, INDEX_PREFIX)
-    kinds = {"flat": FlatIndex, "hnsw": HnswIndex}
+    kinds = {"flat": FlatIndex, "hnsw": HnswIndex,
+             "hnsw_sharded": ShardedHnswIndex}
     cls = kinds[meta["kind"]]
     return cls.load_arrays(prefix, meta)
 

@@ -220,3 +220,128 @@ def shard_database(db: np.ndarray, mesh: Mesh) -> jax.Array:
     has_s = "s" in mesh.axis_names
     spec = P("d", "s") if has_s else P("d", None)
     return jax.device_put(db, jax.sharding.NamedSharding(mesh, spec))
+
+
+class MeshGraphSearcher:
+    """Graph traversal over a mesh: one shard_map dispatch searches every
+    subgraph of a ShardedHnswIndex on its own device and merges the
+    per-shard top-k over ICI.
+
+    This is the ANN analog of MeshSearcher: MeshSearcher row-shards the
+    exact sweep (O(N/D) work per chip per query), this shards the GRAPHS —
+    per-chip work stays one beam traversal (O(ef log N/D)), so query
+    throughput holds at corpus sizes where even the sharded exact sweep is
+    bandwidth-bound, and capacity (signatures + neighbor arrays) scales
+    linearly with chips.  The mesh must have exactly index.n_shards devices
+    on its 'd' axis (build with that shard count — the pipeline does)."""
+
+    def __init__(self, index, mesh: Mesh | None = None,
+                 n_devices: int | None = None):
+        from ..index.hnsw import _as_u32, _next_pow2, _round_up
+
+        self.mesh = mesh or make_device_mesh(n_devices)
+        if "s" in self.mesh.axis_names:
+            raise ValueError("graph search shards rows only; use a 1-D mesh")
+        d = int(np.prod(self.mesh.devices.shape))
+        if d != index.n_shards:
+            raise ValueError(
+                f"mesh has {d} devices but the index has {index.n_shards} "
+                f"shards; build with --mesh {d} for a {d}-device search")
+        self.index = index
+        self.s_true = index.sketch_size
+        self.sp = index.search_prefix
+        m0 = index.shards[0].m0
+        nb = _next_pow2(max(sh.nb_points for sh in index.shards))
+        spad = _round_up(self.s_true, 1024)
+        tb = _next_pow2(max(max(len(sh._entry_ids) for sh in index.shards), 16))
+        sigs_p = np.full((d, nb + 1, self.sp), 0xFFFFFFFF, np.uint32)
+        nbrs_p = np.full((d, nb + 1, m0), nb, np.int32)
+        entries = np.full((d, tb), nb, np.int32)
+        full = np.zeros((d, nb + 1, spad), np.uint32)
+        n_live = np.zeros((d,), np.int32)
+        for i, sh in enumerate(index.shards):
+            n = sh.nb_points
+            n_live[i] = n
+            sigs_p[i, :n] = _as_u32(sh._sigs[:, : self.sp])
+            nbrs_p[i, :n] = np.where(sh._nbrs == -1, nb, sh._nbrs)
+            entries[i, : len(sh._entry_ids)] = sh._entry_ids
+            full[i, :n, : self.s_true] = _as_u32(sh._sigs)
+        sh3 = jax.sharding.NamedSharding(self.mesh, P("d", None, None))
+        sh2 = jax.sharding.NamedSharding(self.mesh, P("d", None))
+        sh1 = jax.sharding.NamedSharding(self.mesh, P("d"))
+        self.d_sigs = jax.device_put(sigs_p, sh3)
+        self.d_nbrs = jax.device_put(nbrs_p, sh3)
+        self.d_entries = jax.device_put(entries, sh2)
+        self.d_full = jax.device_put(full, sh3)
+        self.d_nlive = jax.device_put(n_live, sh1)
+        self.nb = nb
+        self.m0 = m0
+        self._fns: dict = {}
+
+    def _make_fn(self, qb: int, knbn: int, ef: int):
+        import functools
+        import math
+
+        from ..index.hnsw import _beam, _round_up
+
+        d = self.index.n_shards
+        nb, s_true, sp = self.nb, self.s_true, self.sp
+        ef_round = _round_up(min(max(ef, knbn), nb), 64)
+        expand = self.index.shards[0].EXPAND
+        hops = max(8, int(2 * math.log2(nb)) + ef_round // expand)
+        r = min(_round_up(max(4 * knbn, 32), 8), ef_round)
+        use_pallas = jax.default_backend() == "tpu"
+
+        def step(sigs_p, nbrs_p, entries, nlive, full, q_p, q_full):
+            sigs_l, nbrs_l = sigs_p[0], nbrs_p[0]
+            ents_l, full_l, n = entries[0], full[0], nlive[0]
+            beam_ids, _ = _beam(sigs_l, nbrs_l, ents_l, q_p, n,
+                                ef=ef_round, hops=hops, expand=expand)
+            ids = beam_ids[:, :r]
+            if use_pallas:
+                from ..ops.distance import gather_hamming_pallas
+
+                dist = gather_hamming_pallas(full_l, q_full, ids, s_true=s_true)
+            else:
+                rows = jnp.take(full_l, ids, axis=0)
+                eq = (rows == q_full[:, None, :]).sum(-1).astype(jnp.float32)
+                dist = (jnp.float32(s_true) - eq) / jnp.float32(s_true)
+            dist = jnp.where(ids < n, dist, jnp.inf)
+            k_local = min(knbn, r)
+            neg, sel = jax.lax.top_k(-dist, k_local)
+            shard = jax.lax.axis_index("d")
+            gids = (jnp.take_along_axis(ids, sel, axis=1) * d
+                    + shard).astype(jnp.int32)
+            all_d = jax.lax.all_gather(-neg, "d", axis=1, tiled=True)
+            all_g = jax.lax.all_gather(gids, "d", axis=1, tiled=True)
+            neg2, sel2 = jax.lax.top_k(-all_d, min(knbn, d * k_local))
+            return -neg2, jnp.take_along_axis(all_g, sel2, axis=1)
+
+        in_specs = (P("d", None, None), P("d", None, None), P("d", None),
+                    P("d"), P("d", None, None), P(None, None), P(None, None))
+        out_specs = (P(None, None), P(None, None))
+        fn = jax.shard_map(step, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return jax.jit(fn)
+
+    def search(self, queries: np.ndarray, knbn: int, ef_search: int = 0):
+        from ..index.hnsw import _as_u32, _next_pow2, _round_up
+
+        nq = queries.shape[0]
+        n_total = self.index.nb_points
+        knbn = min(knbn, n_total)
+        ef = max(ef_search or self.index.shards[0].DEFAULT_EF, knbn)
+        queries = np.ascontiguousarray(queries, dtype=self.index.sig_dtype)
+        qb = _next_pow2(nq, floor=8)
+        q_p = np.full((qb, self.sp), 0xFFFFFFFF, np.uint32)
+        q_p[:nq] = _as_u32(queries[:, : self.sp])
+        spad = _round_up(self.s_true, 1024)
+        q_full = np.ones((qb, spad), np.uint32)  # col pads 1 vs db's 0
+        q_full[:nq, : self.s_true] = _as_u32(queries)
+        key = (qb, knbn, ef)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = self._fns[key] = self._make_fn(qb, knbn, ef)
+        dd, ids = fn(self.d_sigs, self.d_nbrs, self.d_entries, self.d_nlive,
+                     self.d_full, jnp.asarray(q_p), jnp.asarray(q_full))
+        return np.asarray(dd)[:nq], np.asarray(ids)[:nq]

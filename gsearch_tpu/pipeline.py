@@ -175,18 +175,36 @@ def _sketch_dir(
     return sigs
 
 
-def _new_index(params: ProcessingParams, sig_dtype, kind: str, nb_hint: int):
+def _mesh_size(computing: ComputingParams) -> int:
+    if not computing.mesh_devices:
+        return 0
+    if computing.mesh_devices > 0:
+        return computing.mesh_devices
+    import jax
+
+    return len(jax.devices())
+
+
+def _new_index(params: ProcessingParams, sig_dtype, kind: str, nb_hint: int,
+               n_shards: int = 0):
     if kind == "auto":
         kind = "flat" if nb_hint <= FLAT_AUTO_LIMIT else "hnsw"
     if kind == "flat":
         return FlatIndex(params.sketch.sketch_size, sig_dtype)
-    return HnswIndex(
+    hkw = dict(
         sketch_size=params.sketch.sketch_size,
         sig_dtype=sig_dtype,
         max_nb_conn=params.hnsw.max_nb_conn,
         ef_construction=params.hnsw.ef,
         scale_modification=params.hnsw.scale_modification,
     )
+    if n_shards > 1:
+        # graph + mesh: one subgraph per device so request --mesh can run
+        # every shard on its own chip (index/sharded.py)
+        from .index.sharded import ShardedHnswIndex
+
+        return ShardedHnswIndex(n_shards=n_shards, **hkw)
+    return HnswIndex(**hkw)
 
 
 def build_database(
@@ -205,7 +223,8 @@ def build_database(
     seqdict = SeqDict()
     sigs = _sketch_dir(genome_dir, params, computing, seqdict, timer)
     sig_mat = np.stack(sigs)
-    index = _new_index(params, sig_mat.dtype, index_kind, len(sigs))
+    index = _new_index(params, sig_mat.dtype, index_kind, len(sigs),
+                       n_shards=_mesh_size(computing))
     with timer.stage("index_insert"):
         index.insert(sig_mat)
     assert index.nb_points == len(seqdict), "seqdict/index size mismatch"
@@ -262,16 +281,30 @@ def request_database(
     req_dict = SeqDict()
     sigs = _sketch_dir(req_dir, params, computing, req_dict, timer)
     with timer.stage("search"):
-        if computing.mesh_devices:
+        from .index.sharded import ShardedHnswIndex
+
+        nd = None if computing.mesh_devices < 0 else computing.mesh_devices
+        if computing.mesh_devices and isinstance(index, ShardedHnswIndex):
+            # graph-sharded mesh search: every device traverses its own
+            # subgraph, per-shard top-k merges over ICI
+            from .parallel.mesh import MeshGraphSearcher
+
+            try:
+                searcher = MeshGraphSearcher(index, n_devices=nd)
+                dists, ids = searcher.search(
+                    np.stack(sigs), knbn=nb_answers, ef_search=ef_search)
+            except ValueError as e:  # shard/device mismatch
+                log.warning("mesh graph search unavailable (%s); "
+                            "searching shards sequentially", e)
+                dists, ids = index.search(
+                    np.stack(sigs), knbn=nb_answers, ef_search=ef_search)
+        elif computing.mesh_devices:
             # row-shard the database over the mesh and merge per-shard
             # top-k over ICI — the first-class form of the reference's
             # multiple_search.sh (exact, so ef_search is moot)
             from .parallel.mesh import MeshSearcher
 
-            searcher = MeshSearcher(
-                index.get_sigs(),
-                n_devices=None if computing.mesh_devices < 0 else computing.mesh_devices,
-            )
+            searcher = MeshSearcher(index.get_sigs(), n_devices=nd)
             dists, ids = searcher.search(np.stack(sigs), knbn=nb_answers)
         else:
             dists, ids = index.search(np.stack(sigs), knbn=nb_answers, ef_search=ef_search)

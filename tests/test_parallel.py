@@ -146,3 +146,118 @@ def test_mesh_searcher_matches_flat(rng):
     d, ids = ms.search(queries, knbn=k)
     np.testing.assert_allclose(d, d0, atol=1e-6)
     assert (d[:, 0] == 0).all() and ids.max() < n
+
+
+def _clustered(rng, n, s, per=32):
+    centers = rng.integers(0, 1 << 24, size=(n // per, s)).astype(np.float32)
+    sigs = np.repeat(centers, per, axis=0)
+    mask = rng.random(sigs.shape) < rng.uniform(0.02, 0.3, size=(n, 1))
+    sigs[mask] = rng.random(int(mask.sum())).astype(np.float32)
+    return sigs
+
+
+def test_sharded_hnsw_sequential_and_roundtrip(rng, tmp_path):
+    """ShardedHnswIndex: round-robin global ids, host-merged search, and
+    save/load round trip."""
+    from gsearch_tpu.index.sharded import ShardedHnswIndex
+
+    n, s, k = 1024, 256, 5
+    sigs = _clustered(rng, n, s)
+    idx = ShardedHnswIndex(sketch_size=s, sig_dtype=np.float32, n_shards=8,
+                           max_nb_conn=8, ef_construction=64)
+    idx.insert(sigs[:512])
+    idx.insert(sigs[512:])  # incremental add keeps shards balanced
+    assert idx.nb_points == n
+    assert max(sh.nb_points for sh in idx.shards) - min(
+        sh.nb_points for sh in idx.shards) <= 1
+    # get_sigs reassembles global order
+    np.testing.assert_array_equal(
+        idx.get_sigs().view(np.uint32), sigs.view(np.uint32))
+
+    q = sigs[rng.choice(n, 16, replace=False)].copy()
+    d, ids = idx.search(q, knbn=k, ef_search=128)
+    assert (d[:, 0] == 0).all()
+    got = sigs[ids[:, 0]]
+    np.testing.assert_array_equal(got.view(np.uint32), q.view(np.uint32))
+
+    from gsearch_tpu.index.serialize import dumpall, load_index
+    from gsearch_tpu.core import ProcessingParams, HnswParams, SeqDict
+    from gsearch_tpu.core.params import SeqSketcherParams
+    from gsearch_tpu.core.seqdict import Id, ItemDict
+
+    sd = SeqDict()
+    for i in range(n):
+        sd.push(ItemDict(id=Id(path=f"g{i}", fasta_id="c"), len=1000))
+    pp = ProcessingParams(
+        hnsw=HnswParams(capacity=n, ef=64, max_nb_conn=8, scale_modification=1.0),
+        sketch=SeqSketcherParams(kmer_size=14, sketch_size=s, algo="OPTDENS",
+                                 data_t="DNA"),
+        block_flag=True)
+    dbdir = str(tmp_path / "db")
+    dumpall(dbdir, idx, sd, pp)
+    idx2 = load_index(dbdir)
+    assert idx2.KIND == "hnsw_sharded" and idx2.nb_points == n
+    d2, ids2 = idx2.search(q, knbn=k, ef_search=128)
+    np.testing.assert_array_equal(ids2[:, 0], ids[:, 0])
+
+
+def test_mesh_graph_searcher_recall(rng):
+    """MeshGraphSearcher: one shard_map dispatch over 8 subgraphs matches
+    the exact oracle on clustered data."""
+    from gsearch_tpu.index.sharded import ShardedHnswIndex
+    from gsearch_tpu.parallel.mesh import MeshGraphSearcher
+    from gsearch_tpu.ops.distance import brute_force_knn
+
+    n, s, k, nq = 2048, 256, 10, 16
+    sigs = _clustered(rng, n, s)
+    idx = ShardedHnswIndex(sketch_size=s, sig_dtype=np.float32, n_shards=8,
+                           max_nb_conn=8, ef_construction=64)
+    idx.insert(sigs)
+    q = sigs[rng.choice(n, nq, replace=False)].copy()
+
+    ms = MeshGraphSearcher(idx, n_devices=8)
+    d, ids = ms.search(q, knbn=k, ef_search=256)
+    assert d.shape == (nq, k) and ids.max() < n and ids.min() >= 0
+
+    d0, ids0 = brute_force_knn(jnp.asarray(q.view(np.uint32)),
+                               jnp.asarray(sigs.view(np.uint32)), k, impl="xla")
+    d0 = np.asarray(d0)
+    # tie-aware recall: count returned neighbors at least as close as the
+    # oracle's k-th
+    rec = np.mean([(d[i] <= d0[i, -1] + 1e-6).mean() for i in range(nq)])
+    assert (d[:, 0] == 0).all()
+    assert rec >= 0.95, rec
+
+
+def test_mesh_pipeline_sharded_hnsw_e2e(rng, tmp_path):
+    """tohnsw --index hnsw --mesh -> request --mesh builds a sharded graph
+    database and searches it with the mesh graph path."""
+    from gsearch_tpu.core import ComputingParams, HnswParams, ProcessingParams
+    from gsearch_tpu.core.params import SeqSketcherParams
+    from gsearch_tpu.index.serialize import get_index_kind
+    from gsearch_tpu.pipeline import build_database, request_database
+
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    gdir, qdir, dbdir, odir = (tmp_path / x for x in ("g", "q", "db", "out"))
+    gdir.mkdir(), qdir.mkdir()
+    genomes = [bytes(rng.choice(acgt, 4000)) for _ in range(24)]
+    for i, g in enumerate(genomes):
+        (gdir / f"g{i}.fna").write_bytes(b">c\n" + g + b"\n")
+    mut = np.frombuffer(genomes[5], np.uint8).copy()
+    pos = rng.choice(len(mut), 40, replace=False)
+    mut[pos] = rng.choice(acgt, 40)
+    (qdir / "q.fna").write_bytes(b">q\n" + mut.tobytes() + b"\n")
+
+    pp = ProcessingParams(
+        hnsw=HnswParams(capacity=1000, ef=64, max_nb_conn=8, scale_modification=1.0),
+        sketch=SeqSketcherParams(kmer_size=14, sketch_size=256, algo="OPTDENS",
+                                 data_t="DNA"),
+        block_flag=True,
+    )
+    comp = ComputingParams(mesh_devices=-1)
+    build_database(str(gdir), str(dbdir), pp, comp, index_kind="hnsw")
+    assert get_index_kind(str(dbdir))["kind"] == "hnsw_sharded"
+    res = request_database(str(dbdir), str(qdir), nb_answers=5, computing=comp,
+                           out_dir=str(odir))
+    assert res["nb_requests"] == 1
+    assert "g5.fna" in (odir / "gsearch.neighbors.txt").read_text()
