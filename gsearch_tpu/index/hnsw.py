@@ -158,10 +158,16 @@ class HnswIndex:
 
     # ------------------------------------------------------------------ build
 
-    def insert(self, sigs: np.ndarray, batch_size: int = 1024) -> None:
+    def insert(self, sigs: np.ndarray, batch_size: int = 1024,
+               capacity: int = 0, progress=None) -> None:
         """Batched graph construction (role of parallel_insert,
         dnasketch.rs:426-436).  All graph state stays on device across the
-        whole call; only candidate lists and link updates cross the relay."""
+        whole call; only candidate lists and link updates cross the relay.
+
+        `capacity` (like Hnsw::new's, dnasketch.rs:139) pre-sizes the
+        compiled programs: chunked/incremental inserts up to that many
+        points all reuse one compilation.  `progress(rows_done, total)` is
+        called after each applied batch (benchmark instrumentation)."""
         sigs = np.ascontiguousarray(sigs, dtype=self.sig_dtype)
         m = sigs.shape[0]
         if m == 0:
@@ -169,7 +175,7 @@ class HnswIndex:
         n0 = self.nb_points
         n_total = n0 + m
         B = min(_next_pow2(max(batch_size, 64)), _next_pow2(m))
-        cap = _next_pow2(n_total)
+        cap = _next_pow2(max(n_total, capacity))
         sent = cap + B  # sentinel row index; pad-batch rows live in [cap, sent)
         sp = self.search_prefix
         m0 = self.m0
@@ -314,6 +320,8 @@ class HnswIndex:
                 m_near=m_near,
             )
             n += b_real
+            if progress is not None:
+                progress(n - n0, m)
 
         # ---- sync host mirrors, free device build state ---------------------
         nbrs_h = np.asarray(d_nbrs)[:n_total]

@@ -97,13 +97,27 @@ def main():
         log(f"reused cached graph from {cache} (build was {t_build:.1f}s)")
     else:
         t0 = time.perf_counter()
-        idx.insert(sigs, batch_size=1024)
+        marks = []  # (rows_done, t) after each applied batch
+
+        def prog(done, total):
+            marks.append((done, time.perf_counter() - t0))
+            if len(marks) % 16 == 0:
+                log(f"insert {done}/{total} ({done / marks[-1][1]:.0f}/s)")
+
+        idx.insert(sigs, batch_size=1024, progress=prog)
         t_build = time.perf_counter() - t0
+        # steady-state rate excludes the first batch, which pays the two
+        # one-time remote jit compiles (minutes in this relay environment;
+        # amortized to ~0 on a real TPU VM with a local compile cache)
+        steady = ((marks[-1][0] - marks[0][0]) / (marks[-1][1] - marks[0][1])
+                  if len(marks) > 1 else n / t_build)
         log(f"BUILD: {t_build:.1f}s for {n} points "
-            f"({n / t_build:.0f} inserts/s)")
+            f"({n / t_build:.0f}/s total, {steady:.0f}/s steady-state; "
+            f"first batch incl. compiles {marks[0][1]:.1f}s)")
         if cache:
             np.savez(cache, nbrs=idx._nbrs, nbr_d=idx._nbr_d,
-                     entries=idx._entry_ids, build_s=t_build)
+                     entries=idx._entry_ids, build_s=t_build,
+                     steady_per_s=steady)
 
     # ---- exact oracle on device, chunked over db rows (a full [Q, N]
     # pallas sweep would need a padded second copy of the 12.6 GB matrix)
@@ -164,6 +178,12 @@ def main():
         "build_s": round(t_build, 1), "exact_qps": round(exact_qps, 1),
         "points_per_s": round(n / t_build, 1), "curve": [],
     }
+    try:
+        results["points_per_s_steady"] = round(float(steady), 1)
+    except NameError:
+        if cache and os.path.exists(cache) and "steady_per_s" in np.load(cache):
+            results["points_per_s_steady"] = round(
+                float(np.load(cache)["steady_per_s"]), 1)
 
     def recall_of(ids):
         return float(np.mean([
