@@ -372,15 +372,18 @@ class HnswIndex:
         return self._device
 
     def _device_full_sigs(self):
+        """Full signatures on device, PRE-SHAPED [nb+1, 8, Sp/8] for the
+        pallas gather-rerank kernel (the host reshape is free; an in-graph
+        reshape of the 2-D form costs a whole-matrix layout copy — 24 GB
+        of HLO temps at 262k x 12000).  db column pads are 0, query pads
+        1: never an equal slot."""
         if self._device_full is None:
             n = self.nb_points
             nb = _next_pow2(n)
-            sp = _round_up(self.sketch_size, 1024)  # tile-align for the
-            # pallas gather-rerank kernel (rows view as [8, Sp/8]); db
-            # column pads are 0, query pads 1: never an equal slot
+            sp = _round_up(self.sketch_size, 1024)  # tile-align ([8, Sp/8])
             full = np.zeros((nb + 1, sp), np.uint32)
             full[:n, : self.sketch_size] = _as_u32(self._sigs)
-            self._device_full = jnp.asarray(full)
+            self._device_full = jnp.asarray(full.reshape(nb + 1, 8, sp // 8))
         return self._device_full
 
     def search(
@@ -700,7 +703,8 @@ def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true, use_pallas):
 
         d = gather_hamming_pallas(sigs_full, q_full, ids, s_true=s_true)
     else:
-        rows = jnp.take(sigs_full, ids, axis=0)  # [Q, R, Sp]
+        flat = sigs_full.reshape(sigs_full.shape[0], -1)  # CPU: copies are fine
+        rows = jnp.take(flat, ids, axis=0)  # [Q, R, Sp]
         eq = (rows == q_full[:, None, :]).sum(-1).astype(jnp.float32)
         d = (jnp.float32(s_true) - eq) / jnp.float32(s_true)
     d = jnp.where(ids < n, d, jnp.inf)

@@ -187,23 +187,32 @@ def gather_hamming_pallas(
 ) -> jnp.ndarray:
     """Row-gather + equal-count distance without an XLA gather.
 
-    db [N, Sp] u32 (Sp a multiple of 1024; column pads must differ between
-    db and q so they never count equal), q [Qc, Sp] u32 (Qc a multiple of
-    8), ids [Qc, R] i32 -> [Qc, R] f32 distances d(q_i, db[ids[i, j]]).
+    db [N, Sp] u32 or PRE-SHAPED [N, 8, Sp/8] (Sp a multiple of 1024;
+    column pads must differ between db and q so they never count equal),
+    q [Qc, Sp] u32 (Qc a multiple of 8), ids [Qc, R] i32 ->
+    [Qc, R] f32 distances d(q_i, db[ids[i, j]]).
 
     XLA's gather on a [262k, 12000] matrix materializes a layout-converted
     COPY of the whole operand (11.75 GB — instant OOM next to the resident
     matrix).  Here the matrix stays in HBM untouched: candidate ids are
     scalar-prefetched and each row is manually DMA'd into a VMEM scratch —
     total traffic is Qc*R rows, not N.  Rows are viewed as [8, Sp/8] tiles
-    so the single-row DMA slices only an untiled leading dimension."""
+    so the single-row DMA slices only an untiled leading dimension.
+    Callers holding a big resident matrix should store it [N, 8, Sp/8]
+    up front (a free host reshape): an in-graph reshape of the 2-D form
+    lowers to a whole-matrix layout copy — 24 GB of HLO temps at 262k."""
     from jax.experimental.pallas import tpu as pltpu
 
     qc, r = ids.shape
-    sp = db.shape[1]
+    if db.ndim == 3:
+        assert db.shape[1] == 8
+        sp = db.shape[1] * db.shape[2]
+        db3 = db
+    else:
+        sp = db.shape[1]
+        db3 = db.reshape(db.shape[0], 8, sp // 8)
     assert sp % (8 * _LANE) == 0, f"pad signature columns to {8 * _LANE} (got {sp})"
     sp8 = sp // 8
-    db3 = db.reshape(db.shape[0], 8, sp8)
     q3 = q.reshape(qc, 8, sp8)
     qblk = 8
     assert qc % qblk == 0, f"query count must be a multiple of {qblk}"

@@ -266,13 +266,17 @@ class MeshGraphSearcher:
             nbrs_p[i, :n] = np.where(sh._nbrs == -1, nb, sh._nbrs)
             entries[i, : len(sh._entry_ids)] = sh._entry_ids
             full[i, :n, : self.s_true] = _as_u32(sh._sigs)
+        sh4 = jax.sharding.NamedSharding(self.mesh, P("d", None, None, None))
         sh3 = jax.sharding.NamedSharding(self.mesh, P("d", None, None))
         sh2 = jax.sharding.NamedSharding(self.mesh, P("d", None))
         sh1 = jax.sharding.NamedSharding(self.mesh, P("d"))
         self.d_sigs = jax.device_put(sigs_p, sh3)
         self.d_nbrs = jax.device_put(nbrs_p, sh3)
         self.d_entries = jax.device_put(entries, sh2)
-        self.d_full = jax.device_put(full, sh3)
+        # pre-shaped [8, Sp/8] rows for the pallas gather kernel (an
+        # in-graph reshape would layout-copy the whole shard matrix)
+        self.d_full = jax.device_put(
+            full.reshape(d, nb + 1, 8, spad // 8), sh4)
         self.d_nlive = jax.device_put(n_live, sh1)
         self.nb = nb
         self.m0 = m0
@@ -303,7 +307,7 @@ class MeshGraphSearcher:
 
                 dist = gather_hamming_pallas(full_l, q_full, ids, s_true=s_true)
             else:
-                rows = jnp.take(full_l, ids, axis=0)
+                rows = jnp.take(full_l.reshape(full_l.shape[0], -1), ids, axis=0)
                 eq = (rows == q_full[:, None, :]).sum(-1).astype(jnp.float32)
                 dist = (jnp.float32(s_true) - eq) / jnp.float32(s_true)
             dist = jnp.where(ids < n, dist, jnp.inf)
@@ -318,7 +322,8 @@ class MeshGraphSearcher:
             return -neg2, jnp.take_along_axis(all_g, sel2, axis=1)
 
         in_specs = (P("d", None, None), P("d", None, None), P("d", None),
-                    P("d"), P("d", None, None), P(None, None), P(None, None))
+                    P("d"), P("d", None, None, None), P(None, None),
+                    P(None, None))
         out_specs = (P(None, None), P(None, None))
         fn = jax.shard_map(step, mesh=self.mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)

@@ -124,8 +124,8 @@ def main():
     import functools
     from gsearch_tpu.ops.distance import hamming_frac_pallas
 
-    full = idx._device_full_sigs()  # [nb+1, Sp] u32 (columns lane-padded)
-    sp = full.shape[1]
+    full = idx._device_full_sigs()  # [nb+1, 8, Sp/8] u32 (lane-padded)
+    sp = full.shape[1] * full.shape[2]
     q_pad = np.ones((nq, sp), np.uint32)  # col pads=1 vs db's 0: never equal
     q_pad[:, :s] = queries.view(np.uint32)
     q_dev = jnp.asarray(q_pad)
@@ -134,6 +134,7 @@ def main():
     @functools.partial(jax.jit, static_argnames=("k", "chunk"))
     def oracle_chunk(full, q, start, n_live, *, k, chunk):
         db = jax.lax.dynamic_slice_in_dim(full, start, chunk, axis=0)
+        db = db.reshape(chunk, sp)  # per-chunk layout copy only
         d = hamming_frac_pallas(q, db)  # normalized by sp; rescale to S
         d = (d * jnp.float32(sp) - jnp.float32(sp - s)) / jnp.float32(s)
         col = start + jnp.arange(chunk, dtype=jnp.int32)

@@ -67,3 +67,32 @@ def test_brute_force_knn(rng):
     assert ids[0, 0] == 5 and ids[1, 0] == 6 and ids[2, 0] == 7
     np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-6)
     assert (np.diff(dist, axis=1) >= -1e-6).all()  # sorted ascending
+
+
+def test_gather_pallas_interpret_2d_and_3d(rng):
+    """gather_hamming_pallas (interpret mode): [Qc, R] candidate distances
+    match a numpy gather oracle, for both the 2-D db and the pre-shaped
+    [N, 8, Sp/8] form (the layout big resident matrices are stored in)."""
+    from gsearch_tpu.ops.distance import gather_hamming_pallas
+
+    s_true, sp = 900, 1024  # column-padded to the 8*128 tile
+    qc, r, n = 8, 16, 64
+    db = np.zeros((n, sp), np.uint32)
+    db[:, :s_true] = rng.integers(0, 4, size=(n, s_true)).astype(np.uint32)
+    q = np.ones((qc, sp), np.uint32)  # col pads 1 vs db's 0
+    q[:, :s_true] = rng.integers(0, 4, size=(qc, s_true)).astype(np.uint32)
+    ids = rng.integers(0, n, size=(qc, r)).astype(np.int32)
+
+    want = np.empty((qc, r), np.float32)
+    for i in range(qc):
+        eq = (db[ids[i], :s_true] == q[i, :s_true]).sum(1)
+        want[i] = (s_true - eq) / np.float32(s_true)
+
+    d2 = np.asarray(gather_hamming_pallas(
+        jnp.asarray(db), jnp.asarray(q), jnp.asarray(ids), s_true=s_true,
+        interpret=True))
+    np.testing.assert_allclose(d2, want, atol=1e-6)
+    d3 = np.asarray(gather_hamming_pallas(
+        jnp.asarray(db.reshape(n, 8, sp // 8)), jnp.asarray(q),
+        jnp.asarray(ids), s_true=s_true, interpret=True))
+    np.testing.assert_allclose(d3, want, atol=1e-6)
