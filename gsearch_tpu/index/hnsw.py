@@ -115,6 +115,7 @@ class HnswIndex:
         self.ef_construction = int(ef_construction)
         self.scale_modification = float(scale_modification)
         self.search_prefix = min(search_prefix, sketch_size)
+        self.entry_tier_mult = self.ENTRY_MULT
         self._sigs = np.empty((0, sketch_size), dtype=self.sig_dtype)
         self._nbrs = np.empty((0, self.m0), dtype=np.int32)
         self._nbr_d = np.empty((0, self.m0), dtype=np.float32)
@@ -134,13 +135,23 @@ class HnswIndex:
     def get_sigs(self) -> np.ndarray:
         return self._sigs
 
+    #: entry-tier sizing multiplier (env GSEARCH_TPU_ENTRY_MULT overrides;
+    #: exposed for benchmark sweeps)
+    ENTRY_MULT = float(os.environ.get("GSEARCH_TPU_ENTRY_MULT", "1"))
+
     def _entry_tier_size(self, n: int) -> int:
         if n <= 0:
             return 0
-        # ~ sqrt(N) entries scaled by 1/scale_modification; small scale
-        # (HubNSW direction) widens the exact tier
-        base = math.sqrt(n) / max(self.scale_modification, 0.2)
-        return int(min(n, max(16, base)))
+        # The tier replaces the HNSW upper layers, and must SCALE like
+        # them: hnsw_rs holds ~N/m points above layer 0 (geometric level
+        # sampling), so a sqrt(N) tier starves navigation at 262k+ (512
+        # entries for ~2k natural clusters measured recall@10 = 0.46; a
+        # N/64 tier restores >= 0.99 — see STATUS.md).  The exact tier
+        # sweep is a dense VPU scan, so even 65536 entries cost ~ms.
+        # Small scale_modification (HubNSW direction) widens the tier.
+        base = max(math.sqrt(n), n / 64.0) / max(self.scale_modification, 0.2)
+        base *= self.entry_tier_mult
+        return int(min(n, max(16, base), 65536))
 
     def _entries_for(self, n: int) -> np.ndarray:
         t = self._entry_tier_size(n)
@@ -536,8 +547,11 @@ def _beam(sigs_p, nbrs_p, entries, q_p, n, *, ef, hops, expand):
     expanded = (beam_ids >= n) | ~jnp.isfinite(beam_d)
 
     # visited ring: everything ever scored; wraparound (re-scoring) is
-    # rare with this size and costs only wasted work, never correctness
-    vis_size = _round_up(min(ef + hops * expand * m0, 4096), 128)
+    # rare with this size and costs only wasted work, never correctness.
+    # Must hold at least the initial beam plus one hop block (a 4096 cap
+    # broke ef=5000: the ring seed write needs >= ef slots)
+    vis_size = _round_up(
+        min(ef + hops * expand * m0, max(4096, ef + expand * m0 + 128)), 128)
     ring = jnp.full((qn, vis_size), sent, jnp.int32)
     ring = jax.lax.dynamic_update_slice(ring, beam_ids, (0, 0))
     ring_pos = jnp.int32(ef % max(vis_size - expand * m0, 1))

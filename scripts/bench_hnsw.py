@@ -10,8 +10,10 @@ shape real genome sketches have, unlike uniform-random), then measures:
   * qps + recall@10 for a sweep of ef_search values
   * exact (flat-path) qps at the same N for the crossover comparison
 
-Usage: python scripts/bench_hnsw.py [N] [S] [M] [EFC] [EF,EF,...]
-Writes results to HNSW_BENCH.json and prints progress to stderr.
+Usage: python scripts/bench_hnsw.py [N] [S] [M] [EFC] [EF,EF,...] [MULT,...]
+(MULTs scale the entry tier for the search sweep.)  Writes results to
+HNSW_BENCH.json and prints progress to stderr.  HNSW_BENCH_CACHE=<file>
+caches the built graph and the exact oracle across runs.
 """
 
 import json
@@ -66,6 +68,8 @@ def main():
     efc = int(sys.argv[4]) if len(sys.argv) > 4 else 256
     efs = ([int(x) for x in sys.argv[5].split(",")]
            if len(sys.argv) > 5 else [64, 256, 1024])
+    mults = ([float(x) for x in sys.argv[6].split(",")]
+             if len(sys.argv) > 6 else [1.0])
     nq, k = 256, 10
 
     from gsearch_tpu.utils import enable_compilation_cache
@@ -162,17 +166,26 @@ def main():
             best_i = np.take_along_axis(ci, sel, axis=1)
         return best_d, best_i
 
-    t0 = time.perf_counter()
-    oracle_d, oracle_ids = exact_search()
-    t_oracle_compile = time.perf_counter() - t0
-    log(f"oracle done (compile+run {t_oracle_compile:.1f}s)")
+    ocache = cache + ".oracle.npz" if cache else ""
+    if ocache and os.path.exists(ocache):
+        og = np.load(ocache)
+        oracle_d, oracle_ids = og["d"], og["ids"]
+        exact_qps = float(og["exact_qps"])
+        log(f"reused cached oracle (exact qps {exact_qps:.0f})")
+    else:
+        t0 = time.perf_counter()
+        oracle_d, oracle_ids = exact_search()
+        t_oracle_compile = time.perf_counter() - t0
+        log(f"oracle done (compile+run {t_oracle_compile:.1f}s)")
 
-    t0 = time.perf_counter()
-    iters = 2
-    for _ in range(iters):
-        exact_search()
-    exact_qps = nq * iters / (time.perf_counter() - t0)
-    log(f"exact-path qps at N={n}: {exact_qps:.0f}")
+        t0 = time.perf_counter()
+        iters = 2
+        for _ in range(iters):
+            exact_search()
+        exact_qps = nq * iters / (time.perf_counter() - t0)
+        log(f"exact-path qps at N={n}: {exact_qps:.0f}")
+        if ocache:
+            np.savez(ocache, d=oracle_d, ids=oracle_ids, exact_qps=exact_qps)
 
     results = {
         "n": n, "s": s, "max_nb_conn": m, "ef_construction": efc,
@@ -195,21 +208,26 @@ def main():
             1.0 - sum(1 for a, b in zip(sorted(dd[i]), sorted(oracle_d[i]))
                       if a > b + 1e-6) / k for i in range(nq)]))
 
-    for ef in efs:
-        t0 = time.perf_counter()
-        dd, ids = idx.search(queries, knbn=k, ef_search=ef)  # compile + run
-        t_compile = time.perf_counter() - t0
-        rec, ta = recall_of(ids), tie_aware(dd)
-        t0 = time.perf_counter()
-        iters = 4
-        for _ in range(iters):
-            idx.search(queries, knbn=k, ef_search=ef)
-        qps = nq * iters / (time.perf_counter() - t0)
-        log(f"ef={ef}: recall@10={rec:.4f} tie-aware={ta:.4f} "
-            f"qps={qps:.0f} (first call {t_compile:.1f}s)")
-        results["curve"].append({
-            "ef": ef, "recall10": round(rec, 4), "tie_aware": round(ta, 4),
-            "qps": round(qps, 1)})
+    for mult in mults:
+        idx.entry_tier_mult = mult
+        idx._refresh_entries()
+        idx._device = None  # re-pad the entry array for the new tier
+        tier = len(idx._entry_ids)
+        for ef in efs:
+            t0 = time.perf_counter()
+            dd, ids = idx.search(queries, knbn=k, ef_search=ef)  # compile + run
+            t_compile = time.perf_counter() - t0
+            rec, ta = recall_of(ids), tie_aware(dd)
+            t0 = time.perf_counter()
+            iters = 4
+            for _ in range(iters):
+                idx.search(queries, knbn=k, ef_search=ef)
+            qps = nq * iters / (time.perf_counter() - t0)
+            log(f"tier={tier} ef={ef}: recall@10={rec:.4f} tie-aware={ta:.4f} "
+                f"qps={qps:.0f} (first call {t_compile:.1f}s)")
+            results["curve"].append({
+                "tier": tier, "ef": ef, "recall10": round(rec, 4),
+                "tie_aware": round(ta, 4), "qps": round(qps, 1)})
 
     with open("HNSW_BENCH.json", "w") as f:
         json.dump(results, f, indent=1)
