@@ -53,6 +53,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_size_t,
         ctypes.POINTER(ctypes.c_size_t),
     ]
+    try:  # older .so builds may predate the packer
+        lib.pack2bit_exc.restype = ctypes.c_long
+        lib.pack2bit_exc.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+        ]
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
 
@@ -108,3 +117,27 @@ def native_records_codes(
         ident = raw[i * 64 : (i + 1) * 64].split(b"\0", 1)[0].decode("utf-8", "replace")
         result.append((out[o : o + l], ident))
     return result
+
+
+def native_pack2bit_exc(arr: np.ndarray, lens: np.ndarray, max_exc: int):
+    """C++ exception-form 2-bit pack (see models/base.py UPLOAD_MODE).
+    Returns (p2, inv) or None when the lib is absent / a row overflows
+    max_exc / shapes are unsuitable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pack2bit_exc"):
+        return None
+    b, nb = arr.shape
+    if nb % 4 or not arr.flags.c_contiguous:
+        return None
+    p2 = np.empty((b, nb // 4), np.uint8)
+    inv = np.full((b, max_exc), nb, np.int32)
+    lens32 = np.ascontiguousarray(lens, dtype=np.int32)
+    rc = lib.pack2bit_exc(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), b, nb,
+        p2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        inv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_exc,
+    )
+    if rc < 0:
+        return None
+    return p2, inv

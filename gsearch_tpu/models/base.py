@@ -22,6 +22,7 @@ that makes slot-equality estimate Jaccard.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence
 
 import jax
@@ -124,6 +125,24 @@ class SketcherBase:
 
     _MAX_EXC = 1024  # invalid positions carried per row in exception form
 
+    #: DNA upload format.  "packed" 2-bit-packs on host (0.25 B/base over
+    #: the link), "raw" ships u8 codes as-is (1 B/base), "auto" (default)
+    #: packs iff the native C++ packer is loaded.  Measured on this relay
+    #: (~56 MB/s streaming, one host core): the numpy pack costs ~5
+    #: Mbases/s of host time — worse than just uploading 4x the bytes —
+    #: while the C++ packer runs at memory speed, making packed the win
+    #: again.  GSEARCH_TPU_UPLOAD overrides.
+    UPLOAD_MODE = os.environ.get("GSEARCH_TPU_UPLOAD", "auto")
+
+    @functools.cached_property
+    def _upload_raw(self) -> bool:
+        if self.UPLOAD_MODE == "auto":
+            from ..io.native import get_lib
+
+            lib = get_lib()
+            return not (lib is not None and hasattr(lib, "pack2bit_exc"))
+        return self.UPLOAD_MODE == "raw"
+
     @staticmethod
     def _pack_host(arr: np.ndarray):
         """u8 codes [b, nb] -> (2-bit codes [b, nb//4], valid bits [b, nb//8])."""
@@ -140,6 +159,12 @@ class SketcherBase:
         when some row has too many invalid positions (caller falls back to
         the bit-plane form)."""
         b, nb = arr.shape
+        from ..io.native import native_pack2bit_exc
+
+        nat = native_pack2bit_exc(arr, lens, cls._MAX_EXC)
+        if nat is not None:
+            p2, inv = nat
+            return p2, lens.astype(np.int32), inv
         inv_mask = arr >= 4
         inv_mask &= np.arange(nb, dtype=np.int32)[None, :] < lens[:, None]
         if int(inv_mask.sum()) > 0:
@@ -184,14 +209,14 @@ class SketcherBase:
         return ext[:, :nb]
 
     def _block_fn(self, nb: int):
-        """Streaming-piece kernel: one genome piece -> RaceResult.  DNA
-        pieces arrive in the packed exception form (0.25 B/base over the
-        relay); AA pieces as raw codes."""
+        """Streaming-piece kernel: one genome piece -> RaceResult.  Pieces
+        arrive as raw u8 codes, or (UPLOAD_MODE=packed) DNA in the packed
+        exception form (0.25 B/base over the link)."""
         key = ("block", nb)
         if key in self._fn_cache:
             return self._fn_cache[key]
 
-        if self.is_aa:
+        if self.is_aa or self._upload_raw:
             def run(codes: jnp.ndarray) -> RaceResult:
                 hi, lo, valid = self._windows(codes)
                 slots, keys, payload, dvalid = self._darts(hi, lo, valid)
@@ -232,7 +257,7 @@ class SketcherBase:
             slots, keys, payload, dvalid = self._darts(hi, lo, valid)
             return self._finalize_race(self._race(slots, keys, payload, dvalid))
 
-        if self.is_aa:
+        if self.is_aa or form == "raw":
             run = body
         elif form == "exc":
             def run(p2, lens, inv):
@@ -246,7 +271,7 @@ class SketcherBase:
             # race's scatter-min stays shard-local, no collectives at all)
             from jax.sharding import PartitionSpec as P
 
-            if self.is_aa:
+            if self.is_aa or form == "raw":
                 in_specs = (P("d", None),)
             elif form == "exc":
                 in_specs = (P("d", None), P("d"), P("d", None))
@@ -303,7 +328,7 @@ class SketcherBase:
         nb = block_length(n_true, self.MAX_BLOCK_LOG2)
         if n_true < nb:
             codes = np.pad(codes, (0, nb - n_true), constant_values=255)
-        if self.is_aa:
+        if self.is_aa or self._upload_raw:
             return self._block_fn(nb)(jnp.asarray(codes))
         packed = self._pack_host_exc(codes[None, :], np.array([n_true]))
         if packed is None:
@@ -371,8 +396,9 @@ class SketcherBase:
                 for row, i in enumerate(chunk):
                     arr[row, : len(codes_list[i])] = codes_list[i]
                     lens[row] = len(codes_list[i])
-                if self.is_aa:
-                    dev = self._batch_fn(b, nb)(put(arr))
+                if self.is_aa or self._upload_raw:
+                    form = "raw" if not self.is_aa else "exc"  # key only
+                    dev = self._batch_fn(b, nb, form)(put(arr))
                 else:
                     packed = self._pack_host_exc(arr, lens)
                     if packed is not None:

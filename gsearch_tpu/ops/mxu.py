@@ -79,29 +79,48 @@ def _mxu_candidates(q_exp: jnp.ndarray, db_exp: jnp.ndarray, nb_cand: int):
     return cand
 
 
-@functools.partial(jax.jit, static_argnames=("knbn", "s_true"))
-def _rerank(q_sigs: jnp.ndarray, db_sigs: jnp.ndarray, cand: jnp.ndarray,
-            n_valid: jnp.ndarray, knbn: int, s_true: int):
-    """Exact equal-count distances on the candidate rows, then top-k."""
+@functools.partial(jax.jit, static_argnames=("knbn", "s_true", "use_pallas"))
+def _rerank(q_sigs: jnp.ndarray, db_full3: jnp.ndarray, cand: jnp.ndarray,
+            n_valid: jnp.ndarray, knbn: int, s_true: int, use_pallas: bool = False):
+    """Exact equal-count distances on the candidate rows, then top-k.
+
+    db_full3 is the column-padded signature matrix pre-shaped [N, 8, Sp/8]
+    (db col pads 0).  On TPU candidate rows come through the pallas
+    row-DMA gather kernel: an XLA gather materializes all Q*C rows as one
+    HLO temp (13 GB at Q=4096, C=72, S=12000 — compile OOM), the kernel
+    streams them through a VMEM scratch instead."""
     qs = _as_u32(q_sigs)
-    ds = _as_u32(db_sigs)
-    rows = jnp.take(ds, cand, axis=0)  # [Q, C, S]
-    eq = (rows == qs[:, None, :]).sum(axis=-1).astype(jnp.float32)
-    d = 1.0 - eq / jnp.float32(s_true)
+    sp = db_full3.shape[1] * db_full3.shape[2]
+    if sp > qs.shape[1]:  # query col pads 1: never equal to the db's 0
+        q_pad = jnp.concatenate(
+            [qs, jnp.ones((qs.shape[0], sp - qs.shape[1]), jnp.uint32)], axis=1)
+    else:
+        q_pad = qs
+    if use_pallas:
+        from .distance import gather_hamming_pallas
+
+        d = gather_hamming_pallas(db_full3, q_pad, cand, s_true=s_true)
+    else:
+        flat = db_full3.reshape(db_full3.shape[0], sp)
+        rows = jnp.take(flat, cand, axis=0)  # [Q, C, Sp]
+        eq = (rows == q_pad[:, None, :]).sum(axis=-1).astype(jnp.float32)
+        d = 1.0 - eq / jnp.float32(s_true)
     d = jnp.where(cand < n_valid, d, jnp.inf)
     neg, sel = jax.lax.top_k(-d, knbn)
     return -neg, jnp.take_along_axis(cand, sel, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "nb_cand", "knbn", "s_true"))
-def _search_fused(q_sigs, db_exp, db_sigs, n_valid, *, m, nb_cand, knbn, s_true):
+@functools.partial(
+    jax.jit, static_argnames=("m", "nb_cand", "knbn", "s_true", "use_pallas"))
+def _search_fused(q_sigs, db_exp, db_full3, n_valid, *, m, nb_cand, knbn,
+                  s_true, use_pallas=False):
     """One-dispatch search: expand + matmul candidates + exact rerank.
 
     A single jit keeps the whole pipeline on device per call — in
     relay/remote setups each extra dispatch costs a network round trip."""
     q_exp = expand_signs(q_sigs, m=m)
     cand = _mxu_candidates(q_exp, db_exp, nb_cand)
-    return _rerank(q_sigs, db_sigs, cand, n_valid, knbn, s_true)
+    return _rerank(q_sigs, db_full3, cand, n_valid, knbn, s_true, use_pallas)
 
 
 class MxuSearcher:
@@ -120,8 +139,15 @@ class MxuSearcher:
         pad = nb - self.n
         if pad:
             sigs = np.concatenate([sigs, np.zeros((pad,) + sigs.shape[1:], sigs.dtype)], 0)
-        self._sigs_dev = jnp.asarray(sigs)
         self._db_exp = expand_signs_chunked(sigs, m=m)
+        # column-pad to the pallas gather tile and store pre-shaped
+        # [NB, 8, Sp/8] (see _rerank; host reshape is free)
+        spad = ((self.s + 1023) // 1024) * 1024
+        u = sigs.view(np.uint32) if sigs.dtype == np.float32 else sigs.astype(np.uint32)
+        full = np.zeros((nb, spad), np.uint32)
+        full[:, : self.s] = u
+        self._full3 = jnp.asarray(full.reshape(nb, 8, spad // 8))
+        self._use_pallas = jax.default_backend() == "tpu"
 
     def search(self, queries, knbn: int) -> Tuple[np.ndarray, np.ndarray]:
         """queries: [Q, S] numpy OR device array (jax.Array) — serving paths
@@ -142,18 +168,20 @@ class MxuSearcher:
                 )
         q_dev = jnp.asarray(queries)
         knbn = min(knbn, self.n)
-        nb_cand = min(max(self.rerank_factor * knbn, 64), self._sigs_dev.shape[0])
+        nb_cand = min(max(self.rerank_factor * knbn, 64), self._full3.shape[0])
         d, ids = _search_fused(
-            q_dev, self._db_exp, self._sigs_dev, jnp.int32(self.n),
+            q_dev, self._db_exp, self._full3, jnp.int32(self.n),
             m=self.m, nb_cand=nb_cand, knbn=knbn, s_true=self.s,
+            use_pallas=self._use_pallas,
         )
         return np.asarray(d)[:nq], np.asarray(ids)[:nq]
 
     def search_device(self, q_dev: jax.Array, knbn: int):
         """Fully device-resident variant: returns device arrays (no fetch)."""
         knbn = min(knbn, self.n)
-        nb_cand = min(max(self.rerank_factor * knbn, 64), self._sigs_dev.shape[0])
+        nb_cand = min(max(self.rerank_factor * knbn, 64), self._full3.shape[0])
         return _search_fused(
-            q_dev, self._db_exp, self._sigs_dev, jnp.int32(self.n),
+            q_dev, self._db_exp, self._full3, jnp.int32(self.n),
             m=self.m, nb_cand=nb_cand, knbn=knbn, s_true=self.s,
+            use_pallas=self._use_pallas,
         )

@@ -181,3 +181,45 @@ long fasta_records_codes(const uint8_t* data, size_t len,
 }
 
 }  // extern "C"
+
+// 2-bit pack a batch of u8 code rows (0..3 valid, >=4 invalid) into the
+// sketcher's "exception form": packed bytes (4 codes/byte) + per-row
+// invalid-position lists.  This runs at memory speed where the numpy
+// equivalent costs several passes of strided slicing (~5 Mbases/s on one
+// core) — packing on the host only pays off at all because of this
+// function (models/base.py UPLOAD_MODE).
+//
+// arr:  b x nb u8 codes (row-major); lens: b row lengths
+// p2:   out, b x nb/4 bytes
+// inv:  out, b x max_exc int32, MUST be prefilled with nb by the caller
+// Returns 0, or -1 if some row has more than max_exc invalid positions
+// inside its length (caller falls back to the bit-plane form).
+extern "C"
+long pack2bit_exc(const uint8_t* arr, size_t b, size_t nb,
+                  uint8_t* p2, const int32_t* lens,
+                  int32_t* inv, long max_exc) {
+    const size_t nb4 = nb / 4;
+    for (size_t i = 0; i < b; ++i) {
+        const uint8_t* row = arr + i * nb;
+        uint8_t* out = p2 + i * nb4;
+        int32_t* ex = inv + (size_t)i * (size_t)max_exc;
+        long nexc = 0;
+        const size_t len = (size_t)lens[i];
+        for (size_t j = 0; j < nb4; ++j) {
+            const uint8_t c0 = row[4 * j], c1 = row[4 * j + 1];
+            const uint8_t c2 = row[4 * j + 2], c3 = row[4 * j + 3];
+            out[j] = (uint8_t)((c0 & 3) | ((c1 & 3) << 2) |
+                               ((c2 & 3) << 4) | ((c3 & 3) << 6));
+            // invalid positions are rare; branch only on a combined test
+            if ((c0 | c1 | c2 | c3) >= 4) {
+                for (size_t t = 4 * j; t < 4 * j + 4; ++t) {
+                    if (row[t] >= 4 && t < len) {
+                        if (nexc >= max_exc) return -1;
+                        ex[nexc++] = (int32_t)t;
+                    }
+                }
+            }
+        }
+    }
+    return 0;
+}
