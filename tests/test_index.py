@@ -85,6 +85,32 @@ def test_hnsw_incremental_insert(rng):
     assert (ids[:, 0] == np.arange(450, 460)).all()
 
 
+def test_hnsw_wide_ef_search(rng):
+    """ef_search=5000 (the reference's hardcoded request ef, gsearch.rs:893)
+    must work on a graph large enough that ef is not clamped below the old
+    4096 visited-ring cap (regression: ring seed write needs >= ef slots)."""
+    n, s, k = 6000, 64, 5
+    all_sigs = _sig_cloud(rng, n + 8, s, n_clusters=16)
+    sigs, queries = all_sigs[:n], all_sigs[n:]
+
+    hnsw = HnswIndex(sketch_size=s, sig_dtype=np.uint32, max_nb_conn=16,
+                     ef_construction=64, search_prefix=s)
+    hnsw.insert(sigs, batch_size=1024)
+
+    flat = FlatIndex(sketch_size=s, sig_dtype=np.uint32)
+    flat.insert(sigs)
+    true_d, _ = flat.search(queries, knbn=k)
+
+    got_d, got_ids = hnsw.search(queries, knbn=k, ef_search=5000)
+    assert got_ids.shape == (len(queries), k)
+    tie_aware = np.mean([
+        1.0 - sum(1 for a, b in zip(sorted(got_d[i]), sorted(true_d[i]))
+                  if a > b + 1e-6) / k
+        for i in range(len(queries))
+    ])
+    assert tie_aware >= 0.97, f"tie-aware recall@{k} at ef=5000: {tie_aware:.3f}"
+
+
 def test_hnsw_prefix_rerank_paths(rng, monkeypatch):
     """search_prefix < S exercises the beam-on-prefix + full-sig rerank
     paths; device and host rerank must agree with the flat oracle."""
