@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("-n", "--nbanswers", type=int, required=True)
     r.add_argument("-r", "--query", required=True, dest="req_dir")
     r.add_argument("-o", "--out", default=".", help="output directory")
+    r.add_argument(
+        "--ef", type=int, default=0,
+        help="graph search width; 0 = measured default (256). The reference "
+             "hardcodes 5000 (gsearch.rs:893) — pass --ef 5000 for parity; "
+             "the 262k curve (HNSW_BENCH.json) shows no recall gain past 64",
+    )
 
     # ann (gsearch.rs:537-561)
     n = sub.add_parser("ann", help="graph stats and 2-D embedding of a database")
@@ -161,7 +167,8 @@ def main(argv=None) -> int:
         from ..pipeline import request_database
 
         res = request_database(
-            args.hnsw_dir, args.req_dir, args.nbanswers, computing, out_dir=args.out
+            args.hnsw_dir, args.req_dir, args.nbanswers, computing,
+            out_dir=args.out, ef_search=args.ef,
         )
         print(
             f"{res['nb_requests']} requests, {res['nb_matches']} matches "

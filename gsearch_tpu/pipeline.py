@@ -38,7 +38,14 @@ from .utils import StageTimer, get_logger
 log = get_logger(__name__)
 
 OUT_THRESHOLD = 0.99  # answer filter (reference: dnarequest.rs:83, matcher.rs:235)
-EF_SEARCH = 5000      # request-time ef (reference: gsearch.rs:893)
+# Request-time ef.  The reference hardcodes ef_search=5000 (gsearch.rs:893)
+# to drive its layered HNSW deep enough; our graph replaces the hierarchy
+# with an exact entry tier that already lands the beam in the right
+# cluster, and the measured 262k-point curve (HNSW_BENCH.json) is flat in
+# ef: recall@10 = 0.9996 from ef=64 up.  Default 0 = the index's own
+# default (ef=256, a 4x-throughput point with recall margin); the
+# reference's 5000 remains available via `request --ef 5000`.
+EF_SEARCH = 0
 NEIGHBORS_FILE = "gsearch.neighbors.txt"
 MATCHES_FILE = "gsearch.matches"
 
