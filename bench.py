@@ -42,27 +42,40 @@ def main() -> None:
     from gsearch_tpu.ops.mxu import MxuSearcher
 
     backend = jax.default_backend()
+    # print the backend BEFORE the long setup: a silent CPU fallback (e.g.
+    # the relay briefly held by a dying client) turns the first matmul into
+    # an hours-long single-core grind that looks like a hang
+    print(f"[bench] starting on backend={backend}", file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
     # synthetic f32 signatures with realistic bit patterns (hash values in
-    # [0,1) like optdens); search compares bit-exact slots
-    db = (rng.integers(0, 1 << 24, size=(N_DB, S)).astype(np.float32)
-          * np.float32(1.0 / (1 << 24)))
-
-    # plant 10 neighbors at distinct distances for 32 held-out queries (for
-    # the recall readout; one searcher serves both timing and recall —
-    # two expanded databases do not fit HBM)
+    # [0,1) like optdens); search compares bit-exact slots.  Generated ON
+    # DEVICE: host RNG for 786M draws costs tens of minutes on a small
+    # host, device gen is milliseconds and skips the relay upload too.
     nq_chk = 32
-    q_chk = rng.random((nq_chk, S)).astype(np.float32)
     planted = rng.choice(N_DB, nq_chk * KNBN, replace=False).reshape(nq_chk, KNBN)
-    for i in range(nq_chk):
-        for j in range(KNBN):
-            frac = 0.05 + 0.05 * j  # distances ~0.05 .. 0.50
-            r = q_chk[i].copy()
-            mask = rng.random(S) < frac
-            r[mask] = rng.random(mask.sum()).astype(np.float32)
-            db[planted[i, j]] = r
+    q_idx = rng.choice(N_DB, N_QUERIES, replace=False)
 
-    q = db[rng.choice(N_DB, N_QUERIES, replace=False)].copy()
+    @jax.jit
+    def gen_data(key):
+        kd, kq, km, kv = jax.random.split(key, 4)
+        db = jax.random.uniform(kd, (N_DB, S), jnp.float32)
+        # plant 10 neighbors at distinct distances for 32 held-out queries
+        # (for the recall readout; one searcher serves both timing and
+        # recall — two expanded databases do not fit HBM)
+        q_chk = jax.random.uniform(kq, (nq_chk, S), jnp.float32)
+        frac = 0.05 + 0.05 * jnp.arange(KNBN, dtype=jnp.float32)  # ~0.05..0.50
+        mask = (jax.random.uniform(km, (nq_chk, KNBN, S))
+                < frac[None, :, None])  # [32, 10, S]
+        alt = jax.random.uniform(kv, (nq_chk, KNBN, S), jnp.float32)
+        rows = jnp.where(mask, alt, q_chk[:, None, :])
+        db = db.at[jnp.asarray(planted.reshape(-1))].set(rows.reshape(-1, S))
+        return db, q_chk, jnp.take(db, jnp.asarray(q_idx), axis=0)
+
+    db, q_chk, q = gen_data(jax.random.PRNGKey(0))
+    jax.block_until_ready(db)
+    print("[bench] device data gen done", file=sys.stderr, flush=True)
 
     searcher = MxuSearcher(db, m=4, rerank_factor=8)
 
@@ -146,8 +159,12 @@ def main() -> None:
         acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
         n_files, file_mb = 96, 3
         total_bases = 0
+        # one random pool, per-file random windows: content-distinct files
+        # without 288M host RNG draws (minutes on a small host)
+        pool = rng.choice(acgt, (file_mb << 20) * 3)
         for i in range(n_files):
-            g = rng.choice(acgt, file_mb << 20).tobytes()
+            off = int(rng.integers(0, len(pool) - (file_mb << 20)))
+            g = pool[off : off + (file_mb << 20)].tobytes()
             total_bases += len(g)
             with open(os.path.join(td, f"g{i}.fna"), "wb") as f:
                 f.write(b">c\n" + g + b"\n")

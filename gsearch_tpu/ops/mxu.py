@@ -65,8 +65,19 @@ def expand_signs_chunked(sigs: np.ndarray, m: int = 4, chunk: int = 8192) -> jax
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-@functools.partial(jax.jit, static_argnames=("nb_cand",))
-def _mxu_candidates(q_exp: jnp.ndarray, db_exp: jnp.ndarray, nb_cand: int):
+@functools.partial(jax.jit, static_argnames=("spad",))
+def _pad_reshape_full(rows_u32: jnp.ndarray, *, spad: int) -> jnp.ndarray:
+    """[R, S] u32 -> [R, 8, spad/8] with zero column pads (rerank layout)."""
+    r, s = rows_u32.shape
+    if spad > s:
+        rows_u32 = jnp.concatenate(
+            [rows_u32, jnp.zeros((r, spad - s), jnp.uint32)], axis=1)
+    return rows_u32.reshape(r, 8, spad // 8)
+
+
+@functools.partial(jax.jit, static_argnames=("nb_cand", "approx"))
+def _mxu_candidates(q_exp: jnp.ndarray, db_exp: jnp.ndarray, nb_cand: int,
+                    approx: bool = False):
     scores = jax.lax.dot_general(
         q_exp,
         db_exp,
@@ -75,7 +86,15 @@ def _mxu_candidates(q_exp: jnp.ndarray, db_exp: jnp.ndarray, nb_cand: int):
     )  # [Q, N]
     # top_k over int32 is pathologically slow on TPU; scores are bounded by
     # m*S < 2^24 so the f32 conversion is lossless
-    _, cand = jax.lax.top_k(scores.astype(jnp.float32), nb_cand)
+    scores = scores.astype(jnp.float32)
+    if approx:
+        # TPU-native bucketed top-k: the exact rerank downstream corrects
+        # ordering, so candidate selection only needs high recall, and
+        # approx_max_k is several times faster than a full sort at N >= 64k
+        _, cand = jax.lax.approx_max_k(
+            scores, nb_cand, recall_target=0.98, aggregate_to_topk=True)
+    else:
+        _, cand = jax.lax.top_k(scores, nb_cand)
     return cand
 
 
@@ -111,22 +130,24 @@ def _rerank(q_sigs: jnp.ndarray, db_full3: jnp.ndarray, cand: jnp.ndarray,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "nb_cand", "knbn", "s_true", "use_pallas"))
+    jax.jit,
+    static_argnames=("m", "nb_cand", "knbn", "s_true", "use_pallas", "approx"))
 def _search_fused(q_sigs, db_exp, db_full3, n_valid, *, m, nb_cand, knbn,
-                  s_true, use_pallas=False):
+                  s_true, use_pallas=False, approx=False):
     """One-dispatch search: expand + matmul candidates + exact rerank.
 
     A single jit keeps the whole pipeline on device per call — in
     relay/remote setups each extra dispatch costs a network round trip."""
     q_exp = expand_signs(q_sigs, m=m)
-    cand = _mxu_candidates(q_exp, db_exp, nb_cand)
+    cand = _mxu_candidates(q_exp, db_exp, nb_cand, approx)
     return _rerank(q_sigs, db_full3, cand, n_valid, knbn, s_true, use_pallas)
 
 
 class MxuSearcher:
     """Holds the expanded database on device; searches in two stages."""
 
-    def __init__(self, sigs: np.ndarray, m: int = 4, rerank_factor: int = 8):
+    def __init__(self, sigs: np.ndarray, m: int = 4, rerank_factor: int = 8,
+                 approx: bool | None = None):
         self.m = m
         self.s = sigs.shape[1]
         self.n = sigs.shape[0]
@@ -137,17 +158,47 @@ class MxuSearcher:
         while nb < self.n:
             nb <<= 1
         pad = nb - self.n
+        on_device = isinstance(sigs, jax.Array) and not isinstance(sigs, np.ndarray)
+        spad = ((self.s + 1023) // 1024) * 1024
+        if on_device:
+            # device-resident signatures (e.g. straight from the on-device
+            # sketcher): derive both representations with zero host hops
+            if pad:
+                sigs = jnp.concatenate(
+                    [sigs, jnp.zeros((pad,) + sigs.shape[1:], sigs.dtype)], 0)
+            u = (sigs.view(jnp.uint32) if sigs.dtype == jnp.float32
+                 else sigs.astype(jnp.uint32))
+            self._db_exp = expand_signs(u, m=m)
+            self._full3 = _pad_reshape_full(u, spad=spad)
+            self._finish_init(approx)
+            return
+        # ONE host->device pass: upload u32 row chunks and derive both
+        # device-resident representations from them — the sign expansion
+        # and the column-padded rerank matrix pre-shaped [NB, 8, Sp/8]
+        # (see _rerank).  Uploading the raw signatures twice doubled init
+        # time in relay/remote setups.
         if pad:
             sigs = np.concatenate([sigs, np.zeros((pad,) + sigs.shape[1:], sigs.dtype)], 0)
-        self._db_exp = expand_signs_chunked(sigs, m=m)
-        # column-pad to the pallas gather tile and store pre-shaped
-        # [NB, 8, Sp/8] (see _rerank; host reshape is free)
-        spad = ((self.s + 1023) // 1024) * 1024
         u = sigs.view(np.uint32) if sigs.dtype == np.float32 else sigs.astype(np.uint32)
-        full = np.zeros((nb, spad), np.uint32)
-        full[:, : self.s] = u
-        self._full3 = jnp.asarray(full.reshape(nb, 8, spad // 8))
+        exp_chunks, full_chunks = [], []
+        for start in range(0, nb, 8192):
+            rows = jnp.asarray(np.ascontiguousarray(u[start : start + 8192]))
+            exp_chunks.append(expand_signs(rows, m=m))
+            full_chunks.append(_pad_reshape_full(rows, spad=spad))
+        self._db_exp = (jnp.concatenate(exp_chunks, axis=0)
+                        if len(exp_chunks) > 1 else exp_chunks[0])
+        self._full3 = (jnp.concatenate(full_chunks, axis=0)
+                       if len(full_chunks) > 1 else full_chunks[0])
+        self._finish_init(approx)
+
+    def _finish_init(self, approx):
         self._use_pallas = jax.default_backend() == "tpu"
+        # approx_max_k candidate selection is opt-in: the exact rerank
+        # downstream would mask its recall cost, but the XLA ApproxTopK op
+        # fails to compile at our [1024, 65536] operating point on v5e
+        # ("Wasn't able to find a valid iteration window"), so exact top_k
+        # stays the default
+        self._approx = bool(approx)
 
     def search(self, queries, knbn: int) -> Tuple[np.ndarray, np.ndarray]:
         """queries: [Q, S] numpy OR device array (jax.Array) — serving paths
@@ -172,7 +223,7 @@ class MxuSearcher:
         d, ids = _search_fused(
             q_dev, self._db_exp, self._full3, jnp.int32(self.n),
             m=self.m, nb_cand=nb_cand, knbn=knbn, s_true=self.s,
-            use_pallas=self._use_pallas,
+            use_pallas=self._use_pallas, approx=self._approx,
         )
         return np.asarray(d)[:nq], np.asarray(ids)[:nq]
 
@@ -183,5 +234,5 @@ class MxuSearcher:
         return _search_fused(
             q_dev, self._db_exp, self._full3, jnp.int32(self.n),
             m=self.m, nb_cand=nb_cand, knbn=knbn, s_true=self.s,
-            use_pallas=self._use_pallas,
+            use_pallas=self._use_pallas, approx=self._approx,
         )

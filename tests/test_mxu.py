@@ -69,6 +69,31 @@ def test_mxu_search_matches_exact(rng, dtype):
     np.testing.assert_allclose(d_mxu[:, 0], d_ref[:, 0], atol=1e-6)
 
 
+def test_mxu_approx_candidates(rng):
+    """approx_max_k candidate selection (the large-database TPU default)
+    matches the exact-top-k searcher after rerank."""
+    n_clusters, per, s, k = 8, 64, 128, 10
+    n = n_clusters * per
+    centers = rng.integers(0, 1 << 30, size=(n_clusters, s)).astype(np.uint32)
+    sigs = np.empty((n, s), np.uint32)
+    for i in range(n):
+        c = centers[i % n_clusters].copy()
+        mask = rng.random(s) < (0.02 + 0.9 * (i // n_clusters) / per)
+        c[mask] = rng.integers(0, 1 << 30, size=mask.sum(), dtype=np.uint32)
+        sigs[i] = c
+    queries = sigs[:16].copy()
+
+    exact = MxuSearcher(sigs, m=4, approx=False)
+    apx = MxuSearcher(sigs, m=4, approx=True)
+    d_e, ids_e = exact.search(queries, knbn=k)
+    d_a, ids_a = apx.search(queries, knbn=k)
+    recall = np.mean([
+        len(set(ids_a[i]) & set(ids_e[i])) / k for i in range(len(queries))
+    ])
+    assert recall >= 0.9, f"approx-vs-exact recall {recall}"
+    np.testing.assert_allclose(d_a[:, 0], d_e[:, 0], atol=1e-6)
+
+
 def test_mxu_searcher_bucketing(rng):
     """Odd N/Q sizes work (pad rows never returned)."""
     n, s, k = 77, 64, 5
