@@ -46,10 +46,31 @@ class FlatIndex:
     # sign-expansion estimator + exact rerank (on TPU backends)
     MXU_MIN_POINTS = 4096
 
-    def insert(self, sigs: np.ndarray) -> None:
+    def insert(self, sigs) -> None:
         """Append a batch of signatures; ids are assigned consecutively
-        (the SeqDict rank IS the data id, idsketch.rs:152-154)."""
+        (the SeqDict rank IS the data id, idsketch.rs:152-154).
+
+        Accepts numpy OR a device array (jax.Array): device-resident
+        signatures (e.g. straight from the on-device sketcher or a
+        device-side corpus generator) are kept on device — no host
+        round-trip, which matters in relay/remote setups where
+        host<->device bandwidth is the bottleneck."""
         assert sigs.shape[1] == self.sketch_size
+        import jax
+
+        if isinstance(sigs, jax.Array) and not isinstance(sigs, np.ndarray):
+            sigs = sigs.astype(self.sig_dtype)
+            if self.nb_points == 0:
+                self._sigs = sigs
+            else:
+                prev = (self._sigs if isinstance(self._sigs, jax.Array)
+                        else jnp.asarray(self._sigs))
+                self._sigs = jnp.concatenate([prev, sigs], axis=0)
+            self._device_sigs = self._sigs
+            self._mxu = None
+            return
+        if not isinstance(self._sigs, np.ndarray):
+            self._sigs = np.asarray(self._sigs)  # mixed insert: back to host
         self._sigs = np.concatenate([self._sigs, sigs.astype(self.sig_dtype)], axis=0)
         self._device_sigs = None  # device copy is stale
         self._mxu = None

@@ -269,13 +269,21 @@ def bucketed_knn(q: np.ndarray, db: np.ndarray, knbn: int, impl: str | None = No
     Pad rows get +inf distance, so results are exact."""
     import numpy as _np
 
+    def _pad_rows(x, rows):
+        # device arrays pad with jnp (no host download); numpy stays host-side
+        if isinstance(x, jax.Array) and not isinstance(x, _np.ndarray):
+            return jnp.concatenate(
+                [x, jnp.zeros((rows,) + x.shape[1:], x.dtype)], axis=0)
+        return _np.concatenate(
+            [x, _np.zeros((rows,) + x.shape[1:], x.dtype)], axis=0)
+
     nq, n = q.shape[0], db.shape[0]
     qb = _next_bucket(nq, 8)
     nb = _next_bucket(n, 16)
     if qb != nq:
-        q = _np.concatenate([q, _np.zeros((qb - nq,) + q.shape[1:], q.dtype)], axis=0)
+        q = _pad_rows(q, qb - nq)
     if nb != n:
-        db = _np.concatenate([db, _np.zeros((nb - n,) + db.shape[1:], db.dtype)], axis=0)
+        db = _pad_rows(db, nb - n)
     # the static top_k width derives from the BUCKET (not the live n) so a
     # growing database reuses one compiled program; pad rows are +inf and
     # sort last, so slicing restores the exact semantics

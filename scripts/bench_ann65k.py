@@ -27,20 +27,48 @@ def main():
 
     from gsearch_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
+    import functools
+
     import jax
+    import jax.numpy as jnp
     from gsearch_tpu.analysis.embed import Embedder, EmbedderParams
     from gsearch_tpu.analysis.kgraph import Hubness, kgraph_from_index
     from gsearch_tpu.index.flat import FlatIndex
 
     log(f"backend={jax.default_backend()} N={n} S={s}")
-    rng = np.random.default_rng(0)
-    centers = rng.integers(0, 1 << 24, size=(max(n // 64, 8), s)).astype(np.float32)
-    sigs = np.repeat(centers, 64, axis=0)[:n]
-    mask = rng.random(sigs.shape) < rng.uniform(0.05, 0.5, size=(n, 1))
-    sigs[mask] = rng.random(int(mask.sum())).astype(np.float32)
+
+    # clustered corpus generated ON DEVICE, in row chunks: 64-genome clusters
+    # around integer-valued centers, per-row mutation fraction 0.05..0.5.
+    # (3.1 GB of host RNG + a relay upload took tens of minutes; device gen
+    # is seconds and leaves the signatures resident for the self-search.)
+    n_centers = max(n // 64, 8)
+
+    @functools.partial(jax.jit, static_argnames=("rows", "row0"))
+    def gen_chunk(key, centers, *, rows, row0):
+        km, kf, kv = jax.random.split(key, 3)
+        idx = (row0 + jnp.arange(rows)) // 64
+        base = jnp.take(centers, jnp.minimum(idx, n_centers - 1), axis=0)
+        frac = jax.random.uniform(kf, (rows, 1), minval=0.05, maxval=0.5)
+        mask = jax.random.uniform(km, (rows, s)) < frac
+        alt = jax.random.uniform(kv, (rows, s), jnp.float32)
+        return jnp.where(mask, alt, base)
+
+    key = jax.random.PRNGKey(0)
+    kc, key = jax.random.split(key)
+    centers = jax.random.randint(
+        kc, (n_centers, s), 0, 1 << 24).astype(jnp.float32)
+    chunk = 8192
+    parts = []
+    for row0 in range(0, n, chunk):
+        key, kr = jax.random.split(key)
+        parts.append(gen_chunk(kr, centers, rows=min(chunk, n - row0), row0=row0))
+    sigs = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    jax.block_until_ready(sigs)
+    del parts, centers
+    log("device data gen done")
 
     idx = FlatIndex(sketch_size=s, sig_dtype=np.float32)
-    idx.insert(sigs)
+    idx.insert(sigs)  # device-resident insert: zero host round-trips
 
     t0 = time.perf_counter()
     kg = kgraph_from_index(idx, knbn=8)

@@ -35,6 +35,35 @@ def test_flat_index_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(ids, ids2)
 
 
+def test_flat_index_device_resident(rng, tmp_path):
+    """Device-array inserts (straight from an on-device sketcher or corpus
+    generator) stay on device and search/persist identically to host ones."""
+    import jax.numpy as jnp
+
+    sigs = _sig_cloud(rng, 100, 64)
+    host = FlatIndex(sketch_size=64, sig_dtype=np.uint32)
+    host.insert(sigs)
+    dev = FlatIndex(sketch_size=64, sig_dtype=np.uint32)
+    dev.insert(jnp.asarray(sigs[:60]))
+    dev.insert(jnp.asarray(sigs[60:]))  # device append path
+    assert dev.nb_points == 100
+    d_h, ids_h = host.search(sigs[:5], knbn=3)
+    d_d, ids_d = dev.search(jnp.asarray(sigs[:5]), knbn=3)
+    np.testing.assert_array_equal(ids_h, ids_d)
+    np.testing.assert_allclose(d_h, d_d, atol=1e-6)
+
+    mixed = FlatIndex(sketch_size=64, sig_dtype=np.uint32)
+    mixed.insert(jnp.asarray(sigs[:60]))
+    mixed.insert(sigs[60:])  # device-then-host falls back to host
+    assert mixed.nb_points == 100
+
+    dump_index(dev, str(tmp_path))
+    idx2 = load_index(str(tmp_path))
+    assert idx2.nb_points == 100
+    _, ids2 = idx2.search(sigs[:5], knbn=3)
+    np.testing.assert_array_equal(ids_h, ids2)
+
+
 def test_hnsw_recall_vs_flat(rng, tmp_path):
     n, s, k = 3000, 128, 10
     all_sigs = _sig_cloud(rng, n + 20, s, n_clusters=32)
@@ -80,9 +109,14 @@ def test_hnsw_incremental_insert(rng):
     hnsw.insert(sigs[:300], batch_size=128)
     hnsw.insert(sigs[300:], batch_size=128)
     assert hnsw.nb_points == 500
-    # self-queries must find themselves
-    _, ids = hnsw.search(sigs[450:460], knbn=1, ef_search=64)
-    assert (ids[:, 0] == np.arange(450, 460)).all()
+    # self-queries must find themselves (or an exact-duplicate signature:
+    # _sig_cloud can emit identical rows, and a distance-0 twin is a
+    # correct answer)
+    d, ids = hnsw.search(sigs[450:460], knbn=1, ef_search=64)
+    for i, j in enumerate(range(450, 460)):
+        assert ids[i, 0] == j or (
+            d[i, 0] == 0.0 and (sigs[ids[i, 0]] == sigs[j]).all()
+        ), f"query {j}: got {ids[i, 0]} at d={d[i, 0]}"
 
 
 def test_hnsw_wide_ef_search(rng):
@@ -147,4 +181,9 @@ def test_hnsw_prefix_rerank_paths(rng, monkeypatch):
     np.testing.assert_allclose(got_d_host, got_d_dev, atol=1e-6)
     untied = got_d_dev[:, :-1] + 1e-9 < got_d_dev[:, 1:]
     row_untied = untied.all(axis=1)
-    np.testing.assert_array_equal(ids_host[row_untied], ids_dev[row_untied])
+    # even in internally-untied rows the LAST slot can tie with the
+    # (k+1)-th candidate outside the returned list, where host/device
+    # may legitimately pick different ids — compare all but the last
+    np.testing.assert_array_equal(
+        ids_host[row_untied][:, :-1], ids_dev[row_untied][:, :-1]
+    )
