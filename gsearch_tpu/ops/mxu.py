@@ -38,6 +38,10 @@ from .hash import mix32
 
 _EXPAND_SEED = 0x51614B17
 
+# budget for the pallas rerank's scalar-prefetched [Q, C] int32 candidate
+# operand; SMEM is 1 MB/core, leave headroom for other scalar operands
+_MAX_SMEM_CAND_BYTES = 768 * 1024
+
 
 def _as_u32(sigs: jnp.ndarray) -> jnp.ndarray:
     if sigs.dtype == jnp.float32:
@@ -63,6 +67,20 @@ def expand_signs_chunked(sigs: np.ndarray, m: int = 4, chunk: int = 8192) -> jax
     for start in range(0, sigs.shape[0], chunk):
         outs.append(expand_signs(jnp.asarray(sigs[start : start + chunk]), m=m))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("m", "spad"))
+def _init_write(db_exp, full3, rows_u32, start, *, m, spad):
+    """Expand one row chunk and write it into the preallocated device
+    buffers IN PLACE (donated): concatenating per-chunk results doubles
+    peak HBM (a 65k x 12000 database is ~7.2 GB across the two
+    representations — the concat copies OOM next to resident signatures)."""
+    exp = expand_signs(rows_u32, m=m)
+    f3 = _pad_reshape_full(rows_u32, spad=spad)
+    db_exp = jax.lax.dynamic_update_slice(db_exp, exp, (start, jnp.int32(0)))
+    full3 = jax.lax.dynamic_update_slice(
+        full3, f3, (start, jnp.int32(0), jnp.int32(0)))
+    return db_exp, full3
 
 
 @functools.partial(jax.jit, static_argnames=("spad",))
@@ -162,33 +180,41 @@ class MxuSearcher:
         spad = ((self.s + 1023) // 1024) * 1024
         if on_device:
             # device-resident signatures (e.g. straight from the on-device
-            # sketcher): derive both representations with zero host hops
+            # sketcher): derive both representations with zero host hops.
+            # Chunked like the host path: one-shot expansion materializes
+            # [N, S, m] u32 temps (11.7 GB at 65k x 12000 — HBM OOM).
             if pad:
                 sigs = jnp.concatenate(
                     [sigs, jnp.zeros((pad,) + sigs.shape[1:], sigs.dtype)], 0)
             u = (sigs.view(jnp.uint32) if sigs.dtype == jnp.float32
                  else sigs.astype(jnp.uint32))
-            self._db_exp = expand_signs(u, m=m)
-            self._full3 = _pad_reshape_full(u, spad=spad)
+            chunks = (u[start : start + 8192] for start in range(0, nb, 8192))
+        else:
+            # ONE host->device pass: upload u32 row chunks and derive both
+            # device-resident representations from them.  Uploading the raw
+            # signatures twice doubled init time in relay/remote setups.
+            if pad:
+                sigs = np.concatenate(
+                    [sigs, np.zeros((pad,) + sigs.shape[1:], sigs.dtype)], 0)
+            u = (sigs.view(np.uint32) if sigs.dtype == np.float32
+                 else sigs.astype(np.uint32))
+            chunks = (jnp.asarray(np.ascontiguousarray(u[start : start + 8192]))
+                      for start in range(0, nb, 8192))
+        if nb <= 8192:
+            rows = next(chunks)
+            self._db_exp = expand_signs(rows, m=m)
+            self._full3 = _pad_reshape_full(rows, spad=spad)
             self._finish_init(approx)
             return
-        # ONE host->device pass: upload u32 row chunks and derive both
-        # device-resident representations from them — the sign expansion
-        # and the column-padded rerank matrix pre-shaped [NB, 8, Sp/8]
-        # (see _rerank).  Uploading the raw signatures twice doubled init
-        # time in relay/remote setups.
-        if pad:
-            sigs = np.concatenate([sigs, np.zeros((pad,) + sigs.shape[1:], sigs.dtype)], 0)
-        u = sigs.view(np.uint32) if sigs.dtype == np.float32 else sigs.astype(np.uint32)
-        exp_chunks, full_chunks = [], []
-        for start in range(0, nb, 8192):
-            rows = jnp.asarray(np.ascontiguousarray(u[start : start + 8192]))
-            exp_chunks.append(expand_signs(rows, m=m))
-            full_chunks.append(_pad_reshape_full(rows, spad=spad))
-        self._db_exp = (jnp.concatenate(exp_chunks, axis=0)
-                        if len(exp_chunks) > 1 else exp_chunks[0])
-        self._full3 = (jnp.concatenate(full_chunks, axis=0)
-                       if len(full_chunks) > 1 else full_chunks[0])
+        # preallocate the two device buffers and fill them with donated
+        # in-place writes (see _init_write)
+        db_exp = jnp.zeros((nb, self.s * m), jnp.int8)
+        full3 = jnp.zeros((nb, 8, spad // 8), jnp.uint32)
+        for start, rows in zip(range(0, nb, 8192), chunks):
+            db_exp, full3 = _init_write(
+                db_exp, full3, rows, jnp.int32(start), m=m, spad=spad)
+        self._db_exp = db_exp
+        self._full3 = full3
         self._finish_init(approx)
 
     def _finish_init(self, approx):
@@ -219,20 +245,43 @@ class MxuSearcher:
                 )
         q_dev = jnp.asarray(queries)
         knbn = min(knbn, self.n)
-        nb_cand = min(max(self.rerank_factor * knbn, 64), self._full3.shape[0])
-        d, ids = _search_fused(
-            q_dev, self._db_exp, self._full3, jnp.int32(self.n),
-            m=self.m, nb_cand=nb_cand, knbn=knbn, s_true=self.s,
-            use_pallas=self._use_pallas, approx=self._approx,
-        )
+        d, ids = self._search_batched(q_dev, knbn, jnp)
         return np.asarray(d)[:nq], np.asarray(ids)[:nq]
 
     def search_device(self, q_dev: jax.Array, knbn: int):
         """Fully device-resident variant: returns device arrays (no fetch)."""
         knbn = min(knbn, self.n)
+        return self._search_batched(q_dev, knbn, jnp)
+
+    def _search_batched(self, q_dev, knbn, xp):
+        """Dispatch _search_fused in query chunks sized so the pallas
+        rerank's scalar-prefetched candidate operand [Qc, C] int32 fits
+        SMEM (1 MB/core; e.g. Q=4096 x C=72 x 4 B = 1.18 MB overflows)."""
         nb_cand = min(max(self.rerank_factor * knbn, 64), self._full3.shape[0])
-        return _search_fused(
-            q_dev, self._db_exp, self._full3, jnp.int32(self.n),
-            m=self.m, nb_cand=nb_cand, knbn=knbn, s_true=self.s,
-            use_pallas=self._use_pallas, approx=self._approx,
-        )
+        qb = q_dev.shape[0]
+        # the SMEM allocation lane-pads the [Q, C] i32 operand to C->128k
+        cand_row_bytes = ((nb_cand + 127) // 128) * 128 * 4
+        chunk = 8
+        while chunk * 2 * cand_row_bytes <= _MAX_SMEM_CAND_BYTES and chunk < qb:
+            chunk <<= 1
+        if chunk >= qb:
+            return _search_fused(
+                q_dev, self._db_exp, self._full3, jnp.int32(self.n),
+                m=self.m, nb_cand=nb_cand, knbn=knbn, s_true=self.s,
+                use_pallas=self._use_pallas, approx=self._approx,
+            )
+        ds, ids = [], []
+        for start in range(0, qb, chunk):
+            rows = q_dev[start : start + chunk]
+            if rows.shape[0] != chunk:  # keep one compiled program
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((chunk - rows.shape[0],) + rows.shape[1:],
+                                     rows.dtype)], 0)
+            d, i = _search_fused(
+                rows, self._db_exp, self._full3, jnp.int32(self.n),
+                m=self.m, nb_cand=nb_cand, knbn=knbn, s_true=self.s,
+                use_pallas=self._use_pallas, approx=self._approx,
+            )
+            ds.append(d)
+            ids.append(i)
+        return (xp.concatenate(ds, axis=0)[:qb], xp.concatenate(ids, axis=0)[:qb])
