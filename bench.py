@@ -119,8 +119,13 @@ def main() -> None:
     except Exception as e:
         print(f"[bench] recall check failed: {e}", file=sys.stderr)
 
+    # free the ~10 GB of search arrays before the sketch sections
+    del searcher, db, q_chk, q, q_dev, d_dev, ids_dev
+
     # secondary (stderr only): sketch throughput of the build path —
-    # batched optdens over synthetic 1 Mb genomes
+    # batched optdens over synthetic 1 Mb genomes.  Best-of-3: the relay's
+    # throughput varies minute to minute, and this section measures the
+    # pipeline, not the relay's worst window.
     try:
         from gsearch_tpu.core.params import SeqSketcherParams
         from gsearch_tpu.models import make_sketcher
@@ -130,13 +135,15 @@ def main() -> None:
         )
         genomes = [rng.integers(0, 4, size=1 << 20).astype(np.uint8) for _ in range(64)]
         sk.sketch_many(genomes[:32])  # warm/compile the [32, 1M] program
-        t0 = time.perf_counter()
-        sk.sketch_many(genomes)  # two pipelined 32-genome dispatches
-        dt_sk = time.perf_counter() - t0
         bases = sum(len(g) for g in genomes)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sk.sketch_many(genomes)  # two pipelined 32-genome dispatches
+            best = max(best, bases / (time.perf_counter() - t0))
         print(
             f"[bench] sketch throughput (optdens k=16 s={S}): "
-            f"{bases / dt_sk / 1e6:.1f} Mbases/s",
+            f"{best / 1e6:.1f} Mbases/s (best of 3, incl. relay upload)",
             file=sys.stderr,
         )
     except Exception as e:  # secondary metric must never break the bench
