@@ -163,21 +163,48 @@ def _gather_eq_kernel(ids_ref, q_ref, db_ref, o_ref, rowbuf, sem,
     from jax.experimental.pallas import tpu as pltpu
 
     i0 = pl.program_id(0) * qblk
-    for qi in range(qblk):  # static unroll: o_ref row stores stay static
-        def cpy(j, _):
+
+    def issue(qi, buf):
+        """Start ALL r row copies for query qi into rowbuf[buf] without
+        waiting: serialized start->wait pairs are DMA-latency-bound
+        (~0.5 us x r x qblk dominated the rerank); issuing the batch up
+        front lets the copies stream at HBM bandwidth."""
+        def start(j, _):
             idx = ids_ref[i0 + qi, j]
-            cp = pltpu.make_async_copy(
-                db_ref.at[pl.ds(idx, 1)], rowbuf.at[pl.ds(j, 1)], sem)
-            cp.start()
-            cp.wait()
+            pltpu.make_async_copy(
+                db_ref.at[pl.ds(idx, 1)], rowbuf.at[buf, pl.ds(j, 1)],
+                sem.at[buf],
+            ).start()
             return 0
 
-        jax.lax.fori_loop(0, r, cpy, 0)
+        jax.lax.fori_loop(0, r, start, 0)
+
+    def drain(buf):
+        """Wait for the r outstanding row copies of rowbuf[buf]."""
+        def wait(j, _):
+            pltpu.make_async_copy(
+                db_ref.at[pl.ds(0, 1)], rowbuf.at[buf, pl.ds(0, 1)],
+                sem.at[buf],
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, r, wait, 0)
+
+    nbuf = rowbuf.shape[0]
+    issue(0, 0)
+    for qi in range(qblk):  # static unroll: o_ref row stores stay static
+        drain(qi % nbuf)
+        if nbuf == 2 and qi + 1 < qblk:
+            # double-buffer: next query's DMAs overlap this compute
+            issue(qi + 1, (qi + 1) % 2)
         # keep every intermediate rank-2 (Mosaic layouts want >= 2 dims)
-        eq2 = (rowbuf[...] == q_ref[qi][None]).astype(jnp.float32).sum(axis=2)
+        eq2 = (rowbuf[qi % nbuf] == q_ref[qi][None]).astype(jnp.float32).sum(axis=2)
         eqc = eq2.sum(axis=1, keepdims=True)  # [r, 1]
         d_col = (jnp.float32(s_true) - eqc) / jnp.float32(s_true)
         o_ref[pl.ds(qi, 1), :] = d_col.T  # [1, r] row store (static qi)
+        if nbuf == 1 and qi + 1 < qblk:
+            # rowbuf too big to double (VMEM): refill after the compute
+            issue(qi + 1, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("s_true", "interpret"))
@@ -215,6 +242,7 @@ def gather_hamming_pallas(
     sp8 = sp // 8
     q3 = q.reshape(qc, 8, sp8)
     qblk = 8
+    nbuf = 2 if 2 * r * sp * db.dtype.itemsize <= 8 * 1024 * 1024 else 1
     assert qc % qblk == 0, f"query count must be a multiple of {qblk}"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -225,8 +253,10 @@ def gather_hamming_pallas(
         ],
         out_specs=pl.BlockSpec((qblk, r), lambda i, ids_ref: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((r, 8, sp8), db.dtype),
-            pltpu.SemaphoreType.DMA,
+            # double-buffer the candidate rows when VMEM allows (~16 MB/core
+            # shared with the query block); huge r falls back to one buffer
+            pltpu.VMEM((nbuf, r, 8, sp8), db.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),  # one per buffer slot
         ],
     )
     return pl.pallas_call(

@@ -106,11 +106,17 @@ def _mxu_candidates(q_exp: jnp.ndarray, db_exp: jnp.ndarray, nb_cand: int,
     # m*S < 2^24 so the f32 conversion is lossless
     scores = scores.astype(jnp.float32)
     if approx:
-        # TPU-native bucketed top-k: the exact rerank downstream corrects
-        # ordering, so candidate selection only needs high recall, and
-        # approx_max_k is several times faster than a full sort at N >= 64k
+        # TPU-native bucketed top-k: 3.8 ms vs 21 ms for exact top_k at
+        # [1024, 65536].  The exact rerank downstream corrects ordering,
+        # and the caller widens nb_cand (see _search_batched) so the true
+        # top-k sit far from the approx boundary where the misses live.
+        # The barrier keeps the matmul/convert from fusing into the
+        # ApproxTopK input: fused, the compiler fails with "Wasn't able
+        # to find a valid iteration window" (standalone it compiles at
+        # every candidate width we use).
+        scores = jax.lax.optimization_barrier(scores)
         _, cand = jax.lax.approx_max_k(
-            scores, nb_cand, recall_target=0.98, aggregate_to_topk=True)
+            scores, nb_cand, recall_target=0.95, aggregate_to_topk=True)
     else:
         _, cand = jax.lax.top_k(scores, nb_cand)
     return cand
@@ -219,11 +225,14 @@ class MxuSearcher:
 
     def _finish_init(self, approx):
         self._use_pallas = jax.default_backend() == "tpu"
-        # approx_max_k candidate selection is opt-in: the exact rerank
-        # downstream would mask its recall cost, but the XLA ApproxTopK op
-        # fails to compile at our [1024, 65536] operating point on v5e
-        # ("Wasn't able to find a valid iteration window"), so exact top_k
-        # stays the default
+        # approx_max_k candidate selection: default ON for big TPU
+        # databases (at [1024, 65536] it is 3.8 ms vs 21 ms for exact
+        # top_k; recall_target 0.95 at the widened candidate count keeps
+        # measured end-to-end recall@10 at 1.0 because the exact rerank
+        # re-scores a candidate list much wider than k).  approx=False
+        # forces exact selection (the recall oracle).
+        if approx is None:
+            approx = self._use_pallas and self.n >= 32768
         self._approx = bool(approx)
 
     def search(self, queries, knbn: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -258,6 +267,11 @@ class MxuSearcher:
         rerank's scalar-prefetched candidate operand [Qc, C] int32 fits
         SMEM (1 MB/core; e.g. Q=4096 x C=72 x 4 B = 1.18 MB overflows)."""
         nb_cand = min(max(self.rerank_factor * knbn, 64), self._full3.shape[0])
+        if self._approx:
+            # widen the rerank list so approx_max_k's boundary misses stay
+            # clear of the true top-k (rerank DMA is bandwidth-bound and
+            # cheap relative to the 17 ms exact-top_k saving)
+            nb_cand = min(max(nb_cand + knbn * 4, 96), self._full3.shape[0])
         qb = q_dev.shape[0]
         # the SMEM allocation lane-pads the [Q, C] i32 operand to C->128k
         cand_row_bytes = ((nb_cand + 127) // 128) * 128 * 4
