@@ -47,7 +47,8 @@ def load_train_model(path_or_name: str):
 
 
 def run_genepred(seq_file: str, out_prefix: str, whole_genes: bool = True,
-                 min_len: int = 90, train: str = "standard") -> int:
+                 min_len: int = 90, train: str = "standard",
+                 indel_rate: float = 0.0) -> int:
     from ..io.fasta import parse_fasta
     from ..models.genepred import (GenePredParams, default_codon_logusage,
                                    predict_genes)
@@ -58,6 +59,8 @@ def run_genepred(seq_file: str, out_prefix: str, whole_genes: bool = True,
         model=model,
         whole_genes_only=whole_genes,
         min_gene_len=min_len,
+        allow_indels=indel_rate > 0,
+        indel_rate=max(indel_rate, 1e-9),
     )
     n_genes = 0
     with open(out_prefix + ".faa", "w") as faa, \
@@ -93,12 +96,18 @@ def main(argv=None) -> int:
                     help='"standard" or a JSON codon-usage file '
                          '{"codon_usage": {"ATG": freq, ...}}')
     ap.add_argument("-p", "--threads", type=int, default=0, help="accepted for parity; unused")
+    ap.add_argument("--indels", type=float, default=0.0, metavar="RATE",
+                    help="per-base indel rate of the sequencing-error model "
+                         "(0 = off; the FGS 454_10 train analog is 0.01). "
+                         "Decoded insertions are dropped from the CDS and "
+                         "deletions restored as N, as the reference tool does")
     args = ap.parse_args(argv)
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
     n = run_genepred(args.seq, args.out, whole_genes=args.whole == 1,
-                     min_len=args.min_len, train=args.train)
+                     min_len=args.min_len, train=args.train,
+                     indel_rate=args.indels)
     print(f"predicted {n} genes -> {args.out}.faa/.ffn/.gff/.out", file=sys.stderr)
     return 0
 

@@ -234,6 +234,7 @@ class HnswIndex:
             d_sigs, cand_ids, cand_d, keep = _insert_search(
                 d_sigs, d_nbrs, jnp.asarray(entries), jnp.asarray(q_p), jnp.int32(n),
                 ef=ef_build, C=C, hops=hops, expand=expand,
+                gather_impl=_beam_gather_impl(sp, B),
             )
             cand_ids = np.asarray(cand_ids)
             cand_d = np.array(cand_d)  # writable copy (pad-mates masked below)
@@ -435,6 +436,7 @@ class HnswIndex:
         dp, ids = _graph_search(
             sigs_p, nbrs_p, entries, jnp.asarray(q_p), jnp.int32(n),
             ef=ef_round, r=r, hops=hops, expand=expand,
+            gather_impl=_beam_gather_impl(sp, qb),
         )
         if no_rerank:
             return np.asarray(dp)[:nq], np.asarray(ids)[:nq]
@@ -519,17 +521,31 @@ def _prefix_dist(rows: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     return (jnp.float32(sp) - eq) / jnp.float32(sp)
 
 
-def _beam(sigs_p, nbrs_p, entries, q_p, n, *, ef, hops, expand):
+def _beam(sigs_p, nbrs_p, entries, q_p, n, *, ef, hops, expand,
+          gather_impl="xla"):
     """Batched beam search over the flat neighbor array.
 
     sigs_p [NB+1, S'] u32 (sentinel last), nbrs_p [NB+1, M0] i32 (sentinel
     id = NB or more), entries [T] i32 (sentinel-padded), q_p [Q, S'] u32,
     n traced live count.  Returns (beam_ids [Q, ef] i32, beam_d [Q, ef]
-    f32) sorted ascending by prefix distance."""
+    f32) sorted ascending by prefix distance.
+
+    gather_impl selects how each hop scores its candidate rows:
+      "xla"    — jnp.take + compare (CPU, or prefixes the kernel can't tile)
+      "pallas" — the manual-DMA gather-score kernel (ops/distance.py): on
+                 TPU, XLA's gather materializes a layout-converted copy of
+                 the whole [NB, S'] prefix matrix EVERY hop; the kernel DMAs
+                 exactly the Q*E*M0 candidate rows instead
+      "pallas_interpret" — same kernel interpreted (CPU equivalence tests)"""
     qn = q_p.shape[0]
     m0 = nbrs_p.shape[1]
     sent = sigs_p.shape[0] - 1
     big = jnp.float32(jnp.inf)
+    if gather_impl != "xla":
+        from ..ops.distance import gather_hamming_pallas
+
+        sp = sigs_p.shape[1]
+        sigs_p3 = sigs_p.reshape(sent + 1, 8, sp // 8)  # hoisted out of the scan
 
     # ---- entry tier: exact prefix distances to the sampled entries
     ent_sigs = jnp.take(sigs_p, entries, axis=0)  # [T, S']
@@ -582,8 +598,13 @@ def _beam(sigs_p, nbrs_p, entries, q_p, n, *, ef, hops, expand):
         fresh = ~seen & ~in_beam & ~is_dup & (cand < n)
         cand = jnp.where(fresh, cand, sent)
 
-        rows = jnp.take(sigs_p, cand, axis=0)  # [Q, E*M0, S']
-        cd = _prefix_dist(rows, q_p[:, None, :])
+        if gather_impl == "xla":
+            rows = jnp.take(sigs_p, cand, axis=0)  # [Q, E*M0, S']
+            cd = _prefix_dist(rows, q_p[:, None, :])
+        else:
+            cd = gather_hamming_pallas(
+                sigs_p3, q_p, cand, s_true=sp,
+                interpret=gather_impl == "pallas_interpret")
         cd = jnp.where(fresh, cd, big)
 
         all_ids = jnp.concatenate([beam_ids, cand], axis=1)
@@ -604,10 +625,27 @@ def _beam(sigs_p, nbrs_p, entries, q_p, n, *, ef, hops, expand):
     return beam_ids, beam_d
 
 
+def _beam_gather_impl(sp: int, qn: int) -> str:
+    """Pick the hop-scoring implementation (env GSEARCH_TPU_BEAM_GATHER in
+    {xla, pallas} overrides).  Default is XLA take+compare: measured on
+    v5e at N=16k/S'=1024/E*M0=512 it beats the manual-DMA gather kernel
+    (659 vs 498 qps at ef=64 — per-hop cost is dedup/merge-bound, not
+    gather-bound, and 4 KB row DMAs pay more latency than XLA's batched
+    gather).  The pallas path stays available for shapes where the row
+    gather dominates (wider prefixes / bigger fan-out)."""
+    mode = os.environ.get("GSEARCH_TPU_BEAM_GATHER", "xla")
+    if mode == "pallas" and jax.default_backend() == "tpu" \
+            and sp % 1024 == 0 and qn % 8 == 0:
+        return "pallas"
+    return "xla"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("ef", "C", "hops", "expand"), donate_argnums=(0,)
+    jax.jit, static_argnames=("ef", "C", "hops", "expand", "gather_impl"),
+    donate_argnums=(0,),
 )
-def _insert_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, C, hops, expand):
+def _insert_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, C, hops, expand,
+                   gather_impl="xla"):
     """Build-time candidate generation for one insert batch.
 
     Writes the batch prefix sigs at row n (so batch-mates are gatherable),
@@ -618,7 +656,8 @@ def _insert_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, C, hops, expand):
     sigs_p = jax.lax.dynamic_update_slice(sigs_p, q_p, (n, jnp.int32(0)))
 
     beam_ids, beam_d = _beam(
-        sigs_p, nbrs_p, entries, q_p, n, ef=ef, hops=hops, expand=expand)
+        sigs_p, nbrs_p, entries, q_p, n, ef=ef, hops=hops, expand=expand,
+        gather_impl=gather_impl)
 
     # ---- batch-mates as candidates: dense [B, B] prefix-distance block
     mc = min(64, B)
@@ -641,12 +680,20 @@ def _insert_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, C, hops, expand):
     # ---- candidate pairwise block + select heuristic
     cs = jnp.take(sigs_p, jnp.where(jnp.isfinite(cand_d), cand_ids, 0), axis=0)
 
-    def pcol(j, acc):
-        cj = jax.lax.dynamic_slice_in_dim(cs, j, 1, axis=1)  # [B, 1, S']
-        dj = _prefix_dist(cs, cj)  # [B, C]
-        return jax.lax.dynamic_update_slice(acc, dj[:, :, None], (0, 0, j))
+    # chunk the column sweep: a 1-column loop re-reads the whole [B, C, S']
+    # candidate block from HBM C times (~268 GB/batch at B=1024, C=256);
+    # pc columns per step cut that traffic pc-fold and the compare+reduce
+    # still fuses (no [B, C, pc, S'] materialization)
+    pc = min(16, C)
+    while C % pc:
+        pc -= 1
 
-    pair_d = jax.lax.fori_loop(0, C, pcol, jnp.zeros((B, C, C), jnp.float32))
+    def pcol(j, acc):
+        cj = jax.lax.dynamic_slice_in_dim(cs, j * pc, pc, axis=1)  # [B, pc, S']
+        dj = _prefix_dist(cs[:, :, None, :], cj[:, None, :, :])  # [B, C, pc]
+        return jax.lax.dynamic_update_slice(acc, dj, (0, 0, j * pc))
+
+    pair_d = jax.lax.fori_loop(0, C // pc, pcol, jnp.zeros((B, C, C), jnp.float32))
 
     def step(kept, j):
         # candidate j survives if closer to the node than to every kept one
@@ -693,12 +740,15 @@ def _insert_apply(nbrs_p, nbr_d, rows_ids, rows_d, n, inc_tgt, inc_ids, inc_d,
     return nbrs_p, nbr_d
 
 
-@functools.partial(jax.jit, static_argnames=("ef", "r", "hops", "expand"))
-def _graph_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, r, hops, expand):
+@functools.partial(
+    jax.jit, static_argnames=("ef", "r", "hops", "expand", "gather_impl"))
+def _graph_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, r, hops, expand,
+                  gather_impl="xla"):
     """Search-time traversal: beam on the prefix, return the top-r
     candidates (prefix distances) for reranking."""
     beam_ids, beam_d = _beam(
-        sigs_p, nbrs_p, entries, q_p, n, ef=ef, hops=hops, expand=expand)
+        sigs_p, nbrs_p, entries, q_p, n, ef=ef, hops=hops, expand=expand,
+        gather_impl=gather_impl)
     return beam_d[:, :r], beam_ids[:, :r]
 
 

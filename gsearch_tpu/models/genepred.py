@@ -5,17 +5,29 @@ Capability-equivalent of FragGeneScanRs as shipped with the reference
 calls over genomes/reads producing .faa/.ffn/.gff/.out, used to generate
 the proteomes that AA mode consumes, README.md:533-560).
 
-Model: a 7-state, 3-periodic codon HMM
+Model: an 11-state, 3-periodic codon HMM
     0: noncoding
     1..3: coding forward, codon positions 1..3
     4..6: coding reverse-complement, codon positions 1..3
+    7..8: forward insert states (between codon positions 1-2 / 2-3)
+    9..10: reverse insert states
 with full-codon emissions attached to the third codon position (a 64-entry
 log-usage table — in-frame stop codons get a hard floor, which is what
 keeps genes open), and position-dependent transition bonuses for start
 codons (ATG/GTG/TTG at nc->M1 / reverse stops for the minus strand) and
-stop codons (M3->nc).  This is a first-order rendering of FragGeneScan's
-model family: the reference's trained dicodon tables can be dropped in by
-replacing the 64-entry usage table with a 4096-entry dicodon one (planned).
+stop codons (M3->nc).  The reference's trained dicodon tables drop in as a
+4096-entry P(codon | previous codon) table (GeneModel below).
+
+Sequencing-error (indel) states — the role of FragGeneScan's I1..I6 match/
+insert architecture for error-prone reads (FragGeneScanRs.rs viterbi's
+insertion/deletion handling): when `allow_indels` is on, an inserted base
+is a detour through an insert state (F1 -> FI1 -> F2, penalized by
+log(indel_rate) per inserted base, self-loop for runs), and a deleted base
+is a penalized phase-skip transition (F3 -> F2, F1 -> F3, F2 -> F1 skip one
+codon position).  The decoded path then drives *read correction* exactly
+like the reference tool's: inserted bases are dropped from the reported
+CDS and deleted bases come back as `N` (translating to `X`), so the
+downstream protein stays in frame across the error.
 
 TPU formulation: emissions and bonuses for all positions are precomputed
 as vectorized table lookups; the Viterbi recursion is a `lax.scan` over
@@ -38,8 +50,8 @@ from ..utils import get_logger
 
 log = get_logger(__name__)
 
-NSTATE = 7
-NC, F1, F2, F3, R1, R2, R3 = range(7)
+NSTATE = 11
+NC, F1, F2, F3, R1, R2, R3, FI1, FI2, RI1, RI2 = range(11)
 
 # standard bacterial code
 _CODON_AA = {}
@@ -255,6 +267,12 @@ class GenePredParams:
     stop_codon_bonus: float = 6.0         # extra for a proper stop at gene end
     min_gene_len: int = 90                # nt, reference default ORF floor
     whole_genes_only: bool = True         # -w 1 equivalent
+    #: enable the sequencing-error states (FragGeneScan's short-read error
+    #: model); typically paired with whole_genes_only=False for raw reads
+    allow_indels: bool = False
+    #: per-base insertion/deletion rate when allow_indels (FGS train files
+    #: ship ~1e-2 for 454 reads, ~1e-4 for complete genomes)
+    indel_rate: float = 1e-2
 
 
 @dataclasses.dataclass
@@ -317,12 +335,17 @@ def _precompute_scores(codes: jnp.ndarray, p: GenePredParams,
         r3 = jnp.where(rprev_bad, r3, di[rprev.reshape(-1), rcodon.reshape(-1)]
                        .reshape(b, l))
     e = jnp.zeros((b, l, NSTATE), dtype=jnp.float32)
-    e = e.at[:, :, NC].set(jnp.where(invalid, neg_big, jnp.float32(np.log(0.25))))
+    log_quarter = jnp.where(invalid, neg_big, jnp.float32(np.log(0.25)))
+    e = e.at[:, :, NC].set(log_quarter)
     zero_or_inval = jnp.where(invalid, neg_big, jnp.float32(0.0))
     for st in (F1, F2, R1, R2):
         e = e.at[:, :, st].set(zero_or_inval)
     e = e.at[:, :, F3].set(jnp.where(codon_bad, neg_big, m3))
     e = e.at[:, :, R3].set(jnp.where(codon_bad, neg_big, r3))
+    # insert states emit a flat base like noncoding; the error cost itself
+    # is the log(indel_rate) transition into them
+    for st in (FI1, FI2, RI1, RI2):
+        e = e.at[:, :, st].set(log_quarter)
 
     start_ids = jnp.asarray([_codon_id(s) for s in _STARTS])
     stop_ids = jnp.asarray([_codon_id(s) for s in _STOPS])
@@ -366,14 +389,14 @@ def _precompute_scores(codes: jnp.ndarray, p: GenePredParams,
 
 @functools.partial(jax.jit, static_argnames=("p_start", "min_len"))
 def _viterbi(codes, e, start_bonus, stop_bonus, rev_begin_bonus, rev_end_bonus,
-             p_start: float, min_len: int):
+             p_start: float, min_len: int, log_indel):
     b, l = codes.shape
     neg_big = jnp.float32(-1e9)
     log_stay = jnp.float32(np.log1p(-2 * p_start))
     log_go = jnp.float32(np.log(p_start))
 
     def step(carry, xs):
-        dp = carry  # [B, 7]
+        dp = carry  # [B, NSTATE]
         e_i, sb_i, pb_i, rbb_i, reb_i = xs  # emissions/bonuses at position i
         cand = jnp.full((b, NSTATE, NSTATE), neg_big)  # [B, to, from]
         # noncoding: stay, or close a forward gene (stop), or close a rev gene
@@ -390,6 +413,27 @@ def _viterbi(codes, e, start_bonus, stop_bonus, rev_begin_bonus, rev_end_bonus,
         cand = cand.at[:, R1, R3].set(dp[:, R3])
         cand = cand.at[:, R2, R1].set(dp[:, R1])
         cand = cand.at[:, R3, R2].set(dp[:, R2])
+        # sequencing errors (log_indel = -inf compiles them away):
+        # insertions detour through FI/RI (self-loop for runs) ...
+        cand = cand.at[:, FI1, F1].set(dp[:, F1] + log_indel)
+        cand = cand.at[:, FI1, FI1].set(dp[:, FI1] + log_indel)
+        cand = cand.at[:, F2, FI1].set(dp[:, FI1])
+        cand = cand.at[:, FI2, F2].set(dp[:, F2] + log_indel)
+        cand = cand.at[:, FI2, FI2].set(dp[:, FI2] + log_indel)
+        cand = cand.at[:, F3, FI2].set(dp[:, FI2])
+        cand = cand.at[:, RI1, R1].set(dp[:, R1] + log_indel)
+        cand = cand.at[:, RI1, RI1].set(dp[:, RI1] + log_indel)
+        cand = cand.at[:, R2, RI1].set(dp[:, RI1])
+        cand = cand.at[:, RI2, R2].set(dp[:, R2] + log_indel)
+        cand = cand.at[:, RI2, RI2].set(dp[:, RI2] + log_indel)
+        cand = cand.at[:, R3, RI2].set(dp[:, RI2])
+        # ... deletions skip one codon position
+        cand = cand.at[:, F3, F1].set(dp[:, F1] + log_indel)
+        cand = cand.at[:, F1, F2].set(dp[:, F2] + log_indel)
+        cand = cand.at[:, F2, F3].set(dp[:, F3] + log_indel)
+        cand = cand.at[:, R3, R1].set(dp[:, R1] + log_indel)
+        cand = cand.at[:, R1, R2].set(dp[:, R2] + log_indel)
+        cand = cand.at[:, R2, R3].set(dp[:, R3] + log_indel)
         best_from = jnp.argmax(cand, axis=2).astype(jnp.int8)
         dp_new = jnp.max(cand, axis=2) + e_i
         return dp_new, best_from
@@ -427,6 +471,26 @@ def _translate(nt: str) -> str:
 
 _REVCOMP = bytes.maketrans(b"ACGT", b"TGCA")
 
+_INS_STATES = frozenset((FI1, FI2, RI1, RI2))
+#: (prev, cur) state pairs only reachable through a deletion transition
+_DEL_PAIRS = frozenset(
+    ((F1, F3), (F2, F1), (F3, F2), (R1, R3), (R2, R1), (R3, R2)))
+
+
+def _correct_span(seq: bytes, path: np.ndarray, s0: int, e0: int) -> str:
+    """Error-corrected CDS of a decoded gene span: insertion-state bases
+    are dropped, deletion transitions put an N back in their place."""
+    raw = seq[s0:e0].decode("ascii", "replace").upper()
+    out = []
+    for off, ch in enumerate(raw):
+        j = s0 + off
+        if off > 0 and (int(path[j - 1]), int(path[j])) in _DEL_PAIRS:
+            out.append("N")
+        if int(path[j]) in _INS_STATES:
+            continue
+        out.append(ch)
+    return "".join(out)
+
 
 def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene]:
     """Call genes on one contig. Returns Gene records with translations."""
@@ -452,13 +516,15 @@ def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene
         target <<= 1
     codes_j = jnp.asarray(np.pad(codes, (0, target - l), constant_values=255))[None, :]
     e, sb, pb, rbb, reb = _precompute_scores(codes_j, p, codon_lu, dicodon_lu)
+    log_indel = jnp.float32(np.log(p.indel_rate) if p.allow_indels else -1e9)
     path = np.asarray(
-        _viterbi(codes_j, e, sb, pb, rbb, reb, p.p_gene_start, p.min_gene_len)
+        _viterbi(codes_j, e, sb, pb, rbb, reb, p.p_gene_start, p.min_gene_len,
+                 log_indel)
     )[:, 0][:l]
 
     genes: List[Gene] = []
-    coding_f = (path >= F1) & (path <= F3)
-    coding_r = (path >= R1) & (path <= R3)
+    coding_f = ((path >= F1) & (path <= F3)) | (path == FI1) | (path == FI2)
+    coding_r = ((path >= R1) & (path <= R3)) | (path == RI1) | (path == RI2)
     for coding, strand in ((coding_f, "+"), (coding_r, "-")):
         edges = np.flatnonzero(np.diff(coding.astype(np.int8)))
         starts = edges[coding[edges + 1]] + 1 if len(edges) else np.array([], int)
@@ -468,16 +534,26 @@ def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene
         if coding[-1]:
             ends = np.concatenate([ends, [l]])
         for s0, e0 in zip(starts, ends):
-            ln = e0 - s0
-            ln -= ln % 3
-            e0 = s0 + ln
-            if ln < p.min_gene_len:
-                continue
-            nt = seq[s0:e0].decode("ascii", "replace").upper()
+            if p.allow_indels:
+                # read correction, as the reference tool emits for error
+                # reads: drop bases decoded as insertions, restore deleted
+                # ones as N (-> X in the protein) so the frame holds
+                nt = _correct_span(seq, path, int(s0), int(e0))
+                if len(nt) < p.min_gene_len:
+                    continue
+            else:
+                ln = e0 - s0
+                ln -= ln % 3
+                e0 = s0 + ln
+                if ln < p.min_gene_len:
+                    continue
+                nt = seq[s0:e0].decode("ascii", "replace").upper()
             if strand == "-":
                 nt_cds = nt.encode().translate(_REVCOMP)[::-1].decode()
             else:
                 nt_cds = nt
+            if p.allow_indels:
+                nt_cds = nt_cds[: len(nt_cds) - len(nt_cds) % 3]
             if p.whole_genes_only:
                 # -w 1: only complete genes. Trim the 5' end to the first
                 # in-frame start codon (the Viterbi opening can be a few

@@ -156,13 +156,12 @@ def _gather_eq_kernel(ids_ref, q_ref, db_ref, o_ref, rowbuf, sem,
     """One grid step scores `qblk` queries against their R candidates.
 
     db_ref [N, 8, Sp/8] lives in HBM (memory_space ANY); each candidate
-    row is DMA'd into the [R, 8, Sp/8] VMEM scratch by its scalar-
-    prefetched id (slicing only the leading, untiled dimension keeps
-    Mosaic's (8, 128) tile alignment), then one vectorized compare
-    produces the query's whole distance row."""
+    row is DMA'd into the [R, 8, Sp/8] VMEM scratch by its id from the
+    per-step [qblk, R] SMEM block (a whole-array scalar prefetch would
+    blow the 1 MB SMEM for traversal-sized id lists; slicing only the
+    leading, untiled dimension keeps Mosaic's (8, 128) tile alignment),
+    then one vectorized compare produces the query's whole distance row."""
     from jax.experimental.pallas import tpu as pltpu
-
-    i0 = pl.program_id(0) * qblk
 
     def issue(qi, buf):
         """Start ALL r row copies for query qi into rowbuf[buf] without
@@ -170,7 +169,7 @@ def _gather_eq_kernel(ids_ref, q_ref, db_ref, o_ref, rowbuf, sem,
         (~0.5 us x r x qblk dominated the rerank); issuing the batch up
         front lets the copies stream at HBM bandwidth."""
         def start(j, _):
-            idx = ids_ref[i0 + qi, j]
+            idx = ids_ref[qi, j]
             pltpu.make_async_copy(
                 db_ref.at[pl.ds(idx, 1)], rowbuf.at[buf, pl.ds(j, 1)],
                 sem.at[buf],
@@ -245,13 +244,18 @@ def gather_hamming_pallas(
     nbuf = 2 if 2 * r * sp * db.dtype.itemsize <= 8 * 1024 * 1024 else 1
     assert qc % qblk == 0, f"query count must be a multiple of {qblk}"
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(qc // qblk,),
         in_specs=[
-            pl.BlockSpec((qblk, 8, sp8), lambda i, ids_ref: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # per-step id block in SMEM: scalar-prefetching the WHOLE id
+            # array overflows the 1 MB SMEM once R is traversal-sized
+            # (e.g. [1024, 512] i32 = 2 MB in the insert path)
+            pl.BlockSpec((qblk, r), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((qblk, 8, sp8), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((qblk, r), lambda i, ids_ref: (i, 0)),
+        out_specs=pl.BlockSpec((qblk, r), lambda i: (i, 0)),
         scratch_shapes=[
             # double-buffer the candidate rows when VMEM allows (~16 MB/core
             # shared with the query block); huge r falls back to one buffer

@@ -34,8 +34,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: each test gets the same stream whether it runs solo
+    # or in the full suite (a shared session stream made statistical
+    # thresholds depend on which tests ran before)
     return np.random.default_rng(42)
 
 

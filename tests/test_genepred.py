@@ -188,3 +188,59 @@ def test_read_mode_incomplete_genes():
     # whole-gene mode must NOT call it (no start/stop in the read)
     params.whole_genes_only = True
     assert not predict_genes(read, params)
+
+
+def test_indel_states_recover_frameshifted_gene():
+    """Sequencing-error model: one inserted base mid-gene shifts the frame
+    and floods the downstream half with off-frame codons.  With indel
+    states on, the decoder detours through an insert state, the reported
+    CDS drops the inserted base, and the full-length protein comes back
+    (FragGeneScan's error model for raw reads)."""
+    rng = np.random.default_rng(14)
+    gene = _biased_gene(rng, 160)  # 486 nt
+    ins_at = 400 + 243  # mid-gene, codon boundary +0
+    clean = _random_at_rich(rng, 400) + gene + _random_at_rich(rng, 400)
+    corrupted = clean[:ins_at] + b"A" + clean[ins_at:]
+
+    params = _biased_params()
+    params.whole_genes_only = False
+    g0, g1 = 400, 400 + len(gene) + 1  # span in corrupted coordinates
+
+    def called_fraction(pred):
+        got = np.zeros(len(corrupted), bool)
+        for g in pred:
+            got[g.start:g.end] = True
+        return got[g0:g1].mean()
+
+    base = predict_genes(corrupted, params)
+    params.allow_indels = True
+    fixed = predict_genes(corrupted, params)
+    assert called_fraction(fixed) > 0.9, f"indel mode called {called_fraction(fixed):.2f}"
+    assert called_fraction(fixed) >= called_fraction(base)
+    # the corrected CDS skips the inserted base: full-length in-frame
+    # protein, no internal stops (predict_genes already rejects those)
+    best = max(fixed, key=lambda g: g.end - g.start)
+    assert len(best.aa) >= 150, f"corrected protein only {len(best.aa)} aa"
+
+
+def test_deletion_states_recover_frameshifted_gene():
+    """One deleted base mid-gene: the decoder takes a phase-skip transition
+    and the corrected CDS restores the missing base as N (-> X)."""
+    rng = np.random.default_rng(15)
+    gene = _biased_gene(rng, 160)
+    del_at = 400 + 240
+    clean = _random_at_rich(rng, 400) + gene + _random_at_rich(rng, 400)
+    corrupted = clean[:del_at] + clean[del_at + 1:]
+
+    params = _biased_params()
+    params.whole_genes_only = False
+    params.allow_indels = True
+    pred = predict_genes(corrupted, params)
+    g0, g1 = 400, 400 + len(gene) - 1
+    got = np.zeros(len(corrupted), bool)
+    for g in pred:
+        got[g.start:g.end] = True
+    frac = got[g0:g1].mean()
+    assert frac > 0.9, f"deletion mode called {frac:.2f}"
+    best = max(pred, key=lambda g: g.end - g.start)
+    assert len(best.aa) >= 150, f"corrected protein only {len(best.aa)} aa"

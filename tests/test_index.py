@@ -187,3 +187,30 @@ def test_hnsw_prefix_rerank_paths(rng, monkeypatch):
     np.testing.assert_array_equal(
         ids_host[row_untied][:, :-1], ids_dev[row_untied][:, :-1]
     )
+
+
+def test_beam_gather_pallas_equivalence(rng):
+    """The pallas gather-score hop (TPU traversal path) must return the
+    same candidates as the XLA take+compare hop.  Runs the kernel in
+    interpret mode on CPU; sp=1024 satisfies the kernel's tile alignment."""
+    import jax.numpy as jnp
+
+    from gsearch_tpu.index.hnsw import _graph_search
+
+    n, s = 1500, 1024
+    sigs = _sig_cloud(rng, n + 8, s, n_clusters=12)
+    db, queries = sigs[:n], sigs[n:]
+
+    idx = HnswIndex(sketch_size=s, sig_dtype=np.uint32, max_nb_conn=16,
+                    ef_construction=64)
+    idx.insert(db, batch_size=512)
+    sigs_p, nbrs_p, entries = idx._device_arrays()
+    q_p = jnp.asarray(queries)
+
+    kw = dict(ef=64, r=16, hops=12, expand=2)
+    d_x, i_x = _graph_search(sigs_p, nbrs_p, entries, q_p, jnp.int32(n),
+                             gather_impl="xla", **kw)
+    d_p, i_p = _graph_search(sigs_p, nbrs_p, entries, q_p, jnp.int32(n),
+                             gather_impl="pallas_interpret", **kw)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
