@@ -30,6 +30,37 @@ from ..utils import get_logger
 log = get_logger(__name__)
 
 
+def pairwise_distance(q, db, metric: str = "hamming") -> jnp.ndarray:
+    """Dense [Q, N] distance block under the chosen metric.
+
+    `hamming` is the sketch metric (fraction of differing slots, the
+    reference's DistHamming).  l1 / l2 / cosine mirror the reference
+    hnswcore's DataMap dispatch over other stored vector types
+    (reference: binaux/src/bin/hnswcore.rs:432-462).  l2/cosine are
+    matmul-form (MXU); l1 chunks the [Q, chunk, S] broadcast.
+    """
+    if metric == "hamming":
+        return hamming_frac(q, db)
+    qf = jnp.asarray(q, jnp.float32)
+    df = jnp.asarray(db, jnp.float32)
+    if metric == "l2":
+        sq = (qf * qf).sum(-1)[:, None] + (df * df).sum(-1)[None, :]
+        d2 = sq - 2.0 * (qf @ df.T)
+        return jnp.sqrt(jnp.maximum(d2, 0.0))
+    if metric == "cosine":
+        qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-30)
+        dn = df / jnp.maximum(jnp.linalg.norm(df, axis=-1, keepdims=True), 1e-30)
+        return 1.0 - qn @ dn.T
+    if metric == "l1":
+        chunks = []
+        for st in range(0, df.shape[0], 512):
+            blk = df[st:st + 512]
+            chunks.append(jnp.abs(qf[:, None, :] - blk[None, :, :]).sum(-1))
+        return jnp.concatenate(chunks, axis=1)
+    raise ValueError(
+        f"unknown metric {metric!r}: expected hamming | l1 | l2 | cosine")
+
+
 @dataclasses.dataclass
 class CoresetResult:
     ids: np.ndarray          # [C] database ids of coreset points
@@ -38,20 +69,22 @@ class CoresetResult:
     cost: float              # sum of assignment distances
 
 
-def distance_quantiles(sigs: np.ndarray, nb_rows: int = 256, seed: int = 0) -> dict:
+def distance_quantiles(sigs: np.ndarray, nb_rows: int = 256, seed: int = 0,
+                       metric: str = "hamming") -> dict:
     """Sampled pairwise-distance quantiles (reference: CKMS sampling at
     hnswcore.rs:188-228): nb_rows randomly-chosen rows are scored against
     the whole database in one dense block (nb_rows * N sampled pairs)."""
     rng = np.random.default_rng(seed)
     n = sigs.shape[0]
     rows = rng.choice(n, size=min(nb_rows, n), replace=False)
-    d = np.asarray(hamming_frac(jnp.asarray(sigs[rows]), jnp.asarray(sigs)))
+    d = np.asarray(pairwise_distance(jnp.asarray(sigs[rows]), jnp.asarray(sigs), metric))
     qs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
     return {str(q): float(np.quantile(d.ravel(), q)) for q in qs}
 
 
 def build_coreset(
-    sigs: np.ndarray, nb_coreset: int, seed: int = 0
+    sigs: np.ndarray, nb_coreset: int, seed: int = 0,
+    metric: str = "hamming",
 ) -> CoresetResult:
     """D^2-sampled coreset with assignment weights."""
     rng = np.random.default_rng(seed)
@@ -59,7 +92,7 @@ def build_coreset(
     c = min(nb_coreset, n)
     sig_dev = jnp.asarray(sigs)
     chosen = [int(rng.integers(0, n))]
-    best_d = np.asarray(hamming_frac(jnp.asarray(sigs[chosen]), sig_dev))[0]
+    best_d = np.asarray(pairwise_distance(jnp.asarray(sigs[chosen]), sig_dev, metric))[0]
     # sample in growing rounds: a batch of new centers per sweep keeps the
     # number of device sweeps at O(log C) rather than O(C)
     while len(chosen) < c:
@@ -71,10 +104,10 @@ def build_coreset(
         else:
             extra = rng.choice(n, size=batch, replace=False, p=p / p_sum)
         chosen.extend(int(e) for e in extra)
-        d_new = np.asarray(hamming_frac(jnp.asarray(sigs[extra]), sig_dev))
+        d_new = np.asarray(pairwise_distance(jnp.asarray(sigs[extra]), sig_dev, metric))
         best_d = np.minimum(best_d, d_new.min(axis=0))
     ids = np.array(sorted(set(chosen))[:c], dtype=np.int64)
-    d_all = np.asarray(hamming_frac(jnp.asarray(sigs[ids]), sig_dev))  # [C, N]
+    d_all = np.asarray(pairwise_distance(jnp.asarray(sigs[ids]), sig_dev, metric))  # [C, N]
     assignment = d_all.argmin(axis=0)
     weights = np.bincount(assignment, minlength=len(ids))
     cost = float(d_all.min(axis=0).sum())
@@ -83,7 +116,7 @@ def build_coreset(
 
 def cluster_coreset(
     sigs: np.ndarray, coreset: CoresetResult, nb_cluster: int, nb_iter: int = 10,
-    seed: int = 0,
+    seed: int = 0, metric: str = "hamming",
 ) -> CoresetResult:
     """Weighted medoid clustering OF the coreset, then dispatch of all
     points to the final medoids (reference: ClusterCoreset::{compute,
@@ -93,7 +126,7 @@ def cluster_coreset(
     c = len(coreset.ids)
     k = min(nb_cluster, c)
     w = coreset.weights.astype(np.float64)
-    d_cc = np.asarray(hamming_frac(jnp.asarray(core_sigs), jnp.asarray(core_sigs)))
+    d_cc = np.asarray(pairwise_distance(jnp.asarray(core_sigs), jnp.asarray(core_sigs), metric))
     medoids = list(rng.choice(c, size=k, replace=False))
     for _ in range(nb_iter):
         assign = d_cc[:, medoids].argmin(axis=1)
@@ -110,7 +143,7 @@ def cluster_coreset(
             break
         medoids = new_medoids
     medoid_ids = coreset.ids[medoids]
-    d_all = np.asarray(hamming_frac(jnp.asarray(sigs[medoid_ids]), jnp.asarray(sigs)))
+    d_all = np.asarray(pairwise_distance(jnp.asarray(sigs[medoid_ids]), jnp.asarray(sigs), metric))
     assignment = d_all.argmin(axis=0)
     weights = np.bincount(assignment, minlength=k)
     return CoresetResult(

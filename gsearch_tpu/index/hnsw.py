@@ -574,8 +574,8 @@ def _beam(sigs_p, nbrs_p, entries, q_p, n, *, ef, hops, expand,
 
     rc = min(2048, vis_size)  # ring-compare chunk (bounds the bool buffer)
 
-    def hop(state, _):
-        beam_ids, beam_d, expanded, ring, ring_pos = state
+    def hop(state):
+        beam_ids, beam_d, expanded, ring, ring_pos, it = state
         sel_d = jnp.where(expanded, big, beam_d)
         _, sel = jax.lax.top_k(-sel_d, expand)  # [Q, E] beam positions
         sel_ids = jnp.take_along_axis(beam_ids, sel, axis=1)
@@ -617,10 +617,24 @@ def _beam(sigs_p, nbrs_p, entries, q_p, n, *, ef, hops, expand,
 
         ring = jax.lax.dynamic_update_slice(ring, cand, (0, ring_pos))
         ring_pos = (ring_pos + expand * m0) % jnp.int32(max(vis_size - expand * m0, 1))
-        return (beam_ids, beam_d, expanded, ring, ring_pos), None
+        return beam_ids, beam_d, expanded, ring, ring_pos, it + 1
 
-    (beam_ids, beam_d, *_), _ = jax.lax.scan(
-        hop, (beam_ids, beam_d, expanded, ring, ring_pos), None, length=hops
+    def not_done(state):
+        # standard HNSW termination, batched: a query still has work while
+        # its closest UNEXPANDED beam entry beats its worst kept result.
+        # `hops` stays as the hard cap (compile-time bound on the visited
+        # ring); typical convergence is far earlier, and the while_loop
+        # stops the whole batch when its slowest query converges.
+        beam_ids, beam_d, expanded, ring, ring_pos, it = state
+        best_unexp = jnp.min(jnp.where(expanded, big, beam_d), axis=1)
+        # finite guard: an exhausted query has best_unexp = inf and must
+        # count as done even when its beam tail is also inf (inf <= inf)
+        active = (best_unexp <= beam_d[:, -1]) & jnp.isfinite(best_unexp)
+        return (it < hops) & active.any()
+
+    beam_ids, beam_d, *_ = jax.lax.while_loop(
+        not_done, hop,
+        (beam_ids, beam_d, expanded, ring, ring_pos, jnp.int32(0)),
     )
     return beam_ids, beam_d
 

@@ -16,6 +16,7 @@ HNSW_BENCH.json and prints progress to stderr.  HNSW_BENCH_CACHE=<file>
 caches the built graph and the exact oracle across runs.
 """
 
+import functools
 import json
 import os
 import sys
@@ -61,6 +62,60 @@ def make_clustered(rng, n, s, n_centers, lo=0.02, hi=0.45):
     return sigs, centers
 
 
+def make_clustered_device(n, s, n_centers, lo=0.02, hi=0.45, seed=0):
+    """Same hierarchical corpus generated ON DEVICE: the host generator
+    needs ~800M RNG draws (12+ min for 65k x 12000 on this 1-core host,
+    ~50 min at 262k); device gen is seconds plus the chunk downloads."""
+    import jax
+    import jax.numpy as jnp
+
+    n_super = max(n_centers // 32, 4)
+    per = n // n_centers
+    key = jax.random.PRNGKey(seed)
+    k_sup, k_cfr, k_cm, k_cv, k_mem = jax.random.split(key, 5)
+
+    supers = jax.random.uniform(k_sup, (n_super, s), jnp.float32)
+    cfr = jax.random.uniform(k_cfr, (n_centers, 1), jnp.float32,
+                             minval=0.3, maxval=0.6)
+    cmask = jax.random.uniform(k_cm, (n_centers, s)) < cfr
+    cvals = jax.random.uniform(k_cv, (n_centers, s), jnp.float32)
+    centers = jnp.where(cmask, cvals,
+                        supers[jnp.arange(n_centers) % n_super])
+    centers_h = np.asarray(centers)
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def member_chunk(key, c0, *, rows):
+        kf, km, kv = jax.random.split(key, 3)
+        nc = rows // per
+        base = jax.lax.dynamic_slice_in_dim(centers, c0, nc, axis=0)
+        base = jnp.repeat(base, per, axis=0)  # [rows, s]
+        fr = jax.random.uniform(kf, (rows, 1), jnp.float32, minval=lo, maxval=hi)
+        mask = jax.random.uniform(km, (rows, s)) < fr
+        vals = jax.random.uniform(kv, (rows, s), jnp.float32)
+        return jnp.where(mask, vals, base)
+
+    sigs = np.empty((n, s), dtype=np.float32)
+    # chunk = a whole number of clusters, sized ~0.5 GB of output
+    cpc = max(1, (1 << 27) // max(per * s, 1))
+    keys = jax.random.split(k_mem, (n_centers + cpc - 1) // cpc + 1)
+    c = 0
+    while c < n_centers:
+        nc = min(cpc, n_centers - c)
+        rows = nc * per
+        # fixed `rows` per bucket keeps one compiled program; the tail
+        # cluster block just recompiles once
+        chunk = member_chunk(keys[c // cpc], c, rows=rows)
+        sigs[c * per:(c + nc) * per] = np.asarray(chunk)
+        c += nc
+        if (c // cpc) % 8 == 0:
+            log(f"gen centers {c}/{n_centers}")
+    rest = n - per * n_centers
+    if rest:
+        tail = jax.random.uniform(keys[-1], (rest, s), jnp.float32)
+        sigs[per * n_centers:] = np.asarray(tail)
+    return sigs, centers_h
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
     s = int(sys.argv[2]) if len(sys.argv) > 2 else 12_000
@@ -82,7 +137,10 @@ def main():
     log(f"backend={jax.default_backend()} N={n} S={s} m={m} efc={efc} efs={efs}")
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    sigs, centers = make_clustered(rng, n, s, n_centers=max(n // 128, 8))
+    if os.environ.get("HNSW_BENCH_HOST_GEN"):
+        sigs, centers = make_clustered(rng, n, s, n_centers=max(n // 128, 8))
+    else:
+        sigs, centers = make_clustered_device(n, s, n_centers=max(n // 128, 8))
     # queries: fresh mutants of random centers (same generative process)
     qc = rng.integers(0, centers.shape[0], nq)
     queries = centers[qc].copy()

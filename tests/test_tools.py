@@ -133,3 +133,33 @@ def test_hnsw2knn_and_hnswcore(tmp_path):
     assert (tmp_path / "clustercoreset.csv").exists()
     rows = open(tmp_path / "clustercoreset.csv").read().strip().splitlines()
     assert len(rows) == n + 1
+
+
+def test_coreset_metrics():
+    """pairwise_distance's l1/l2/cosine match numpy; each metric drives the
+    full coreset pipeline (reference hnswcore dispatches the same distance
+    set, binaux/src/bin/hnswcore.rs:432-462)."""
+    from gsearch_tpu.analysis.coreset import (build_coreset, cluster_coreset,
+                                              pairwise_distance)
+
+    rng = np.random.default_rng(3)
+    q = rng.random((5, 32)).astype(np.float32)
+    db = rng.random((17, 32)).astype(np.float32)
+    l1 = np.abs(q[:, None, :] - db[None, :, :]).sum(-1)
+    l2 = np.sqrt(((q[:, None, :] - db[None, :, :]) ** 2).sum(-1))
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    dn = db / np.linalg.norm(db, axis=-1, keepdims=True)
+    cos = 1.0 - qn @ dn.T
+    np.testing.assert_allclose(np.asarray(pairwise_distance(q, db, "l1")), l1, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pairwise_distance(q, db, "l2")), l2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pairwise_distance(q, db, "cosine")), cos, rtol=1e-4, atol=1e-5)
+
+    sigs = rng.random((40, 16)).astype(np.float32)
+    for metric in ("l1", "l2", "cosine"):
+        core = build_coreset(sigs, 8, metric=metric)
+        assert len(core.ids) == 8 and core.assignment.shape == (40,)
+        clus = cluster_coreset(sigs, core, 3, metric=metric)
+        assert len(clus.ids) == 3
+
+    with pytest.raises(ValueError, match="unknown metric"):
+        pairwise_distance(q, db, "chebyshev")
