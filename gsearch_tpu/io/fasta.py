@@ -13,7 +13,7 @@ Capability-equivalent of the reference's needletail-based parsers
 Records whose fasta id contains "capsid" are skipped exactly as in the
 reference (dnafiles.rs:67,145,248,329).
 
-Decompression: .gz / .xz / .bz2 (reference: needletail transparent
+Decompression: .gz / .xz / .bz2 / .zst (reference: needletail transparent
 decompression + the suffix checks in src/utils/files.rs:117-146).
 
 Block mode deviates from the reference in one deliberate way: records are
@@ -53,6 +53,10 @@ def _open_maybe_compressed(path: str) -> io.BufferedReader:
         return lzma.open(path, "rb")
     if path.endswith(".bz2"):
         return bz2.open(path, "rb")
+    if path.endswith((".zst", ".zstd")):
+        import zstandard  # gated: absent on some hosts
+
+        return zstandard.open(path, "rb")
     return open(path, "rb")
 
 

@@ -16,7 +16,7 @@ import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Tuple
 
-_COMP = ("", ".gz", ".xz", ".bz2")
+_COMP = ("", ".gz", ".xz", ".bz2", ".zst", ".zstd")
 _DNA_SUFFIXES = tuple(b + c for b in (".fna", ".fa", ".fasta") for c in _COMP)
 _AA_SUFFIXES = tuple(b + c for b in (".faa",) for c in _COMP)
 

@@ -11,8 +11,8 @@ from conftest import mutate_dna, random_dna
 
 
 def test_compressed_file_formats(tmp_path):
-    """gz / xz / bz2 inputs build and match plain files
-    (reference: files.rs:117-137 suffix handling)."""
+    """gz / xz / bz2 / zst inputs build and match plain files
+    (reference: files.rs:117-137 suffix handling + needletail zstd)."""
     from gsearch_tpu.cli.main import main
 
     rng = np.random.default_rng(55)
@@ -24,16 +24,24 @@ def test_compressed_file_formats(tmp_path):
     (db / "b.fna.gz").write_bytes(gzip.compress(fasta))
     (db / "c.fasta.xz").write_bytes(lzma.compress(fasta))
     (db / "d.fa.bz2").write_bytes(bz2.compress(fasta))
+    expected = 4
+    try:
+        import zstandard
+
+        (db / "e.fna.zst").write_bytes(zstandard.compress(fasta))
+        expected = 5
+    except ImportError:
+        pass
     out = str(tmp_path / "idx")
     rc = main(["tohnsw", "-d", str(db), "-k", "12", "-s", "256", "-n", "8",
                "--algo", "optdens", "--block", "-o", out])
     assert rc == 0
     import json, os
     state = json.load(open(os.path.join(out, "processing_state.json")))
-    assert state["nb_file"] == 4
-    # identical content -> identical signatures -> distance 0 among all 4
+    assert state["nb_file"] == expected
+    # identical content -> identical signatures -> distance 0 among all
     sigs = np.load(os.path.join(out, "index.sigs.npy"))
-    assert sigs.shape[0] == 4
+    assert sigs.shape[0] == expected
     assert (sigs == sigs[0]).all()
 
 
