@@ -92,11 +92,22 @@ class FlatIndex:
 
         if jax.default_backend() == "tpu" and self.nb_points >= self.MXU_MIN_POINTS:
             # throughput path: MXU estimator + exact rerank (ops/mxu.py);
-            # returned distances are bit-exact equal-count values
+            # returned distances are bit-exact equal-count values (compact
+            # mode at HBM-limit scale: near-exact, see ops/mxu.py)
             if self._mxu is None:
-                from ..ops.mxu import MxuSearcher
+                from ..ops.mxu import MxuSearcher, planned_footprint
 
-                self._mxu = MxuSearcher(self._sigs)
+                sigs = self._sigs
+                _, rep_bytes = planned_footprint(self.nb_points, self.sketch_size)
+                if (isinstance(sigs, jax.Array) and not isinstance(sigs, np.ndarray)
+                        and sigs.nbytes + rep_bytes > 13_000_000_000):
+                    # source + searcher representations cannot coexist in
+                    # HBM (e.g. 262k x 12000 f32): stage through the host
+                    # once and free the device copy
+                    sigs = np.asarray(sigs)
+                    self._sigs = sigs
+                    self._device_sigs = None
+                self._mxu = MxuSearcher(sigs)
             return self._mxu.search(queries.astype(self.sig_dtype), knbn)
         from ..ops.distance import bucketed_knn
 

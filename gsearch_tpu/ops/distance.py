@@ -152,7 +152,8 @@ def _round_up_int(x: int, m: int) -> int:
 
 
 def _gather_eq_kernel(ids_ref, q_ref, db_ref, o_ref, rowbuf, sem,
-                      *, s_true: int, r: int, qblk: int):
+                      *, s_true: int, r: int, qblk: int,
+                      halves: bool = False):
     """One grid step scores `qblk` queries against their R candidates.
 
     db_ref [N, 8, Sp/8] lives in HBM (memory_space ANY); each candidate
@@ -197,7 +198,14 @@ def _gather_eq_kernel(ids_ref, q_ref, db_ref, o_ref, rowbuf, sem,
             # double-buffer: next query's DMAs overlap this compute
             issue(qi + 1, (qi + 1) % 2)
         # keep every intermediate rank-2 (Mosaic layouts want >= 2 dims)
-        eq2 = (rowbuf[qi % nbuf] == q_ref[qi][None]).astype(jnp.float32).sum(axis=2)
+        if halves:
+            # each u32 lane packs TWO 16-bit hashed slots (compact rerank,
+            # ops/mxu.py): count equal halves
+            x = rowbuf[qi % nbuf] ^ q_ref[qi][None]
+            eq2 = (((x & jnp.uint32(0xFFFF)) == 0).astype(jnp.float32)
+                   + ((x >> jnp.uint32(16)) == 0).astype(jnp.float32)).sum(axis=2)
+        else:
+            eq2 = (rowbuf[qi % nbuf] == q_ref[qi][None]).astype(jnp.float32).sum(axis=2)
         eqc = eq2.sum(axis=1, keepdims=True)  # [r, 1]
         d_col = (jnp.float32(s_true) - eqc) / jnp.float32(s_true)
         o_ref[pl.ds(qi, 1), :] = d_col.T  # [1, r] row store (static qi)
@@ -206,10 +214,10 @@ def _gather_eq_kernel(ids_ref, q_ref, db_ref, o_ref, rowbuf, sem,
             issue(qi + 1, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("s_true", "interpret"))
+@functools.partial(jax.jit, static_argnames=("s_true", "interpret", "halves"))
 def gather_hamming_pallas(
     db: jnp.ndarray, q: jnp.ndarray, ids: jnp.ndarray, *, s_true: int,
-    interpret: bool = False,
+    interpret: bool = False, halves: bool = False,
 ) -> jnp.ndarray:
     """Row-gather + equal-count distance without an XLA gather.
 
@@ -264,7 +272,8 @@ def gather_hamming_pallas(
         ],
     )
     return pl.pallas_call(
-        functools.partial(_gather_eq_kernel, s_true=s_true, r=r, qblk=qblk),
+        functools.partial(_gather_eq_kernel, s_true=s_true, r=r, qblk=qblk,
+                          halves=halves),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((qc, r), jnp.float32),
         interpret=interpret,

@@ -23,6 +23,16 @@ tests/test_mxu.py); rerank distances are bit-exact.
 Reference role: this replaces hnsw_rs::parallel_search as the throughput
 path (reference: src/dna/dnarequest.rs:353) — the graph index (hnsw.py)
 remains for corpora too large for a full sweep.
+
+Compact mode (auto-selected for databases whose standard two
+representations would not fit HBM, e.g. 262k x 12000 on a 16 GB chip):
+m=2 sign expansion for candidate scoring plus a rerank matrix of 16-bit
+slot HASHES packed in pairs into u32 lanes — 48 KB/row instead of 97 KB
+at S=12000.  Rerank counts equal 16-bit halves: two unequal slots'
+hashes collide with probability 2^-16, so at S=12000 the expected
+distance bias is < 2e-5 (<< sketch noise 1/sqrt(S) ~ 1e-2) and ranking
+is exact-in-practice; the recall check in scripts/bench_mxu262k.py and
+tests/test_mxu.py validate top-k equality against the exact oracle.
 """
 
 from __future__ import annotations
@@ -37,6 +47,7 @@ import numpy as np
 from .hash import mix32
 
 _EXPAND_SEED = 0x51614B17
+_RERANK_SEED = 0x243F6A88  # independent of the expansion hash
 
 # budget for the pallas rerank's scalar-prefetched [Q, C] int32 candidate
 # operand; SMEM is 1 MB/core, leave headroom for other scalar operands
@@ -93,6 +104,35 @@ def _pad_reshape_full(rows_u32: jnp.ndarray, *, spad: int) -> jnp.ndarray:
     return rows_u32.reshape(r, 8, spad // 8)
 
 
+@functools.partial(jax.jit, static_argnames=("spad", "pad_val"))
+def _pack_hash16(rows_u32: jnp.ndarray, *, spad: int, pad_val: int) -> jnp.ndarray:
+    """[R, S] u32 -> [R, 8, spad/16] u32: 16-bit slot hashes packed in pairs.
+
+    Compact-mode rerank representation (half the bytes of the full
+    matrix).  Column pads use pad_val: 0 for the database, 1 for queries,
+    so padded halves never count equal.  spad must be a multiple of 2048
+    so the packed lane count spad/2 keeps the kernel's 1024-lane rule."""
+    r, s = rows_u32.shape
+    h = mix32(rows_u32, _RERANK_SEED) >> jnp.uint32(16)  # [R, S] in [0, 2^16)
+    if spad > s:
+        h = jnp.concatenate(
+            [h, jnp.full((r, spad - s), jnp.uint32(pad_val))], axis=1)
+    packed = h[:, 0::2] | (h[:, 1::2] << jnp.uint32(16))  # [R, spad/2]
+    return packed.reshape(r, 8, spad // 16)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("m", "spad"))
+def _init_write_compact(db_exp, packed3, rows_u32, start, *, m, spad):
+    """Compact-mode sibling of _init_write: expand + pack one row chunk
+    into the donated device buffers in place."""
+    exp = expand_signs(rows_u32, m=m)
+    p3 = _pack_hash16(rows_u32, spad=spad, pad_val=0)
+    db_exp = jax.lax.dynamic_update_slice(db_exp, exp, (start, jnp.int32(0)))
+    packed3 = jax.lax.dynamic_update_slice(
+        packed3, p3, (start, jnp.int32(0), jnp.int32(0)))
+    return db_exp, packed3
+
+
 @functools.partial(jax.jit, static_argnames=("nb_cand", "approx"))
 def _mxu_candidates(q_exp: jnp.ndarray, db_exp: jnp.ndarray, nb_cand: int,
                     approx: bool = False):
@@ -122,19 +162,25 @@ def _mxu_candidates(q_exp: jnp.ndarray, db_exp: jnp.ndarray, nb_cand: int,
     return cand
 
 
-@functools.partial(jax.jit, static_argnames=("knbn", "s_true", "use_pallas"))
-def _rerank(q_sigs: jnp.ndarray, db_full3: jnp.ndarray, cand: jnp.ndarray,
-            n_valid: jnp.ndarray, knbn: int, s_true: int, use_pallas: bool = False):
-    """Exact equal-count distances on the candidate rows, then top-k.
+@functools.partial(
+    jax.jit, static_argnames=("knbn", "s_true", "use_pallas", "compact"))
+def _rerank(q_sigs: jnp.ndarray, db_rr3: jnp.ndarray, cand: jnp.ndarray,
+            n_valid: jnp.ndarray, knbn: int, s_true: int,
+            use_pallas: bool = False, compact: bool = False):
+    """Equal-count distances on the candidate rows, then top-k.
 
-    db_full3 is the column-padded signature matrix pre-shaped [N, 8, Sp/8]
-    (db col pads 0).  On TPU candidate rows come through the pallas
+    db_rr3 is the rerank matrix pre-shaped [N, 8, Sp/8]: the column-padded
+    full signatures (db col pads 0; exact distances), or in compact mode
+    the pair-packed 16-bit slot hashes [N, 8, Sp/16] (near-exact, see
+    module docstring).  On TPU candidate rows come through the pallas
     row-DMA gather kernel: an XLA gather materializes all Q*C rows as one
     HLO temp (13 GB at Q=4096, C=72, S=12000 — compile OOM), the kernel
     streams them through a VMEM scratch instead."""
     qs = _as_u32(q_sigs)
-    sp = db_full3.shape[1] * db_full3.shape[2]
-    if sp > qs.shape[1]:  # query col pads 1: never equal to the db's 0
+    sp = db_rr3.shape[1] * db_rr3.shape[2]
+    if compact:
+        q_pad = _pack_hash16(qs, spad=2 * sp, pad_val=1).reshape(qs.shape[0], sp)
+    elif sp > qs.shape[1]:  # query col pads 1: never equal to the db's 0
         q_pad = jnp.concatenate(
             [qs, jnp.ones((qs.shape[0], sp - qs.shape[1]), jnp.uint32)], axis=1)
     else:
@@ -142,11 +188,17 @@ def _rerank(q_sigs: jnp.ndarray, db_full3: jnp.ndarray, cand: jnp.ndarray,
     if use_pallas:
         from .distance import gather_hamming_pallas
 
-        d = gather_hamming_pallas(db_full3, q_pad, cand, s_true=s_true)
+        d = gather_hamming_pallas(db_rr3, q_pad, cand, s_true=s_true,
+                                  halves=compact)
     else:
-        flat = db_full3.reshape(db_full3.shape[0], sp)
+        flat = db_rr3.reshape(db_rr3.shape[0], sp)
         rows = jnp.take(flat, cand, axis=0)  # [Q, C, Sp]
-        eq = (rows == q_pad[:, None, :]).sum(axis=-1).astype(jnp.float32)
+        if compact:
+            x = rows ^ q_pad[:, None, :]
+            eq = (((x & jnp.uint32(0xFFFF)) == 0).sum(axis=-1)
+                  + ((x >> jnp.uint32(16)) == 0).sum(axis=-1)).astype(jnp.float32)
+        else:
+            eq = (rows == q_pad[:, None, :]).sum(axis=-1).astype(jnp.float32)
         d = 1.0 - eq / jnp.float32(s_true)
     d = jnp.where(cand < n_valid, d, jnp.inf)
     neg, sel = jax.lax.top_k(-d, knbn)
@@ -155,35 +207,50 @@ def _rerank(q_sigs: jnp.ndarray, db_full3: jnp.ndarray, cand: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "nb_cand", "knbn", "s_true", "use_pallas", "approx"))
-def _search_fused(q_sigs, db_exp, db_full3, n_valid, *, m, nb_cand, knbn,
-                  s_true, use_pallas=False, approx=False):
-    """One-dispatch search: expand + matmul candidates + exact rerank.
+    static_argnames=(
+        "m", "nb_cand", "knbn", "s_true", "use_pallas", "approx", "compact"))
+def _search_fused(q_sigs, db_exp, db_rr3, n_valid, *, m, nb_cand, knbn,
+                  s_true, use_pallas=False, approx=False, compact=False):
+    """One-dispatch search: expand + matmul candidates + rerank.
 
     A single jit keeps the whole pipeline on device per call — in
     relay/remote setups each extra dispatch costs a network round trip."""
     q_exp = expand_signs(q_sigs, m=m)
     cand = _mxu_candidates(q_exp, db_exp, nb_cand, approx)
-    return _rerank(q_sigs, db_full3, cand, n_valid, knbn, s_true, use_pallas)
+    return _rerank(q_sigs, db_rr3, cand, n_valid, knbn, s_true, use_pallas,
+                   compact)
+
+
+def planned_footprint(n: int, s: int, m: int = 4) -> Tuple[bool, int]:
+    """(compact?, device bytes) the constructor would choose for [n, s]
+    signatures — lets callers decide whether the SOURCE array can stay
+    resident in HBM next to the searcher's representations."""
+    nb = 16
+    while nb < n:
+        nb <<= 1
+    spad_full = ((s + 1023) // 1024) * 1024
+    if nb * (m * s + 4 * spad_full) <= MxuSearcher.COMPACT_BYTES:
+        return False, nb * (m * s + 4 * spad_full)
+    spad = ((s + 2047) // 2048) * 2048
+    return True, nb * (2 * s + 2 * spad)
 
 
 class MxuSearcher:
     """Holds the expanded database on device; searches in two stages."""
 
+    # auto-switch to compact mode when the standard two representations
+    # would exceed this many bytes (leave HBM headroom for score/temp
+    # buffers on a 16 GB chip)
+    COMPACT_BYTES = 8_000_000_000
+
     def __init__(self, sigs: np.ndarray, m: int = 4, rerank_factor: int = 8,
-                 approx: bool | None = None):
-        self.m = m
+                 approx: bool | None = None, compact: bool | None = None):
         self.s = sigs.shape[1]
         self.n = sigs.shape[0]
+        nb, spad, m = self._resolve_mode(m, compact)
         self.rerank_factor = rerank_factor
-        # pad N so every database size in a power-of-two bucket shares one
-        # compiled program (remote compiles are expensive here)
-        nb = 16
-        while nb < self.n:
-            nb <<= 1
         pad = nb - self.n
         on_device = isinstance(sigs, jax.Array) and not isinstance(sigs, np.ndarray)
-        spad = ((self.s + 1023) // 1024) * 1024
         if on_device:
             # device-resident signatures (e.g. straight from the on-device
             # sketcher): derive both representations with zero host hops.
@@ -206,22 +273,107 @@ class MxuSearcher:
                  else sigs.astype(np.uint32))
             chunks = (jnp.asarray(np.ascontiguousarray(u[start : start + 8192]))
                       for start in range(0, nb, 8192))
+        self._fill(chunks, nb, spad)
+        self._finish_init(approx)
+
+    def _resolve_mode(self, m: int, compact: bool | None):
+        """Pick (n-bucket, column pad, expansion width) and set self.compact."""
+        # pad N so every database size in a power-of-two bucket shares one
+        # compiled program (remote compiles are expensive here)
+        nb = 16
+        while nb < self.n:
+            nb <<= 1
+        spad_full = ((self.s + 1023) // 1024) * 1024
+        if compact is None:
+            compact = nb * (m * self.s + 4 * spad_full) > self.COMPACT_BYTES
+        self.compact = bool(compact)
+        if self.compact and m == 4:
+            m = 2  # compact default: half-width expansion (see module doc)
+        self.m = m
+        # packed pairs: spad/2 u32 lanes must stay a multiple of 1024
+        spad = (((self.s + 2047) // 2048) * 2048) if self.compact else spad_full
+        return nb, spad, m
+
+    def _fill(self, chunks, nb: int, spad: int) -> None:
+        """Write u32 row chunks into the two preallocated device buffers
+        with donated in-place updates (_init_write/_init_write_compact)."""
+        m = self.m
         if nb <= 8192:
             rows = next(chunks)
             self._db_exp = expand_signs(rows, m=m)
-            self._full3 = _pad_reshape_full(rows, spad=spad)
-            self._finish_init(approx)
+            self._rr3 = (_pack_hash16(rows, spad=spad, pad_val=0)
+                         if self.compact
+                         else _pad_reshape_full(rows, spad=spad))
             return
-        # preallocate the two device buffers and fill them with donated
-        # in-place writes (see _init_write)
         db_exp = jnp.zeros((nb, self.s * m), jnp.int8)
-        full3 = jnp.zeros((nb, 8, spad // 8), jnp.uint32)
+        if self.compact:
+            rr3 = jnp.zeros((nb, 8, spad // 16), jnp.uint32)
+            write = _init_write_compact
+        else:
+            rr3 = jnp.zeros((nb, 8, spad // 8), jnp.uint32)
+            write = _init_write
         for start, rows in zip(range(0, nb, 8192), chunks):
-            db_exp, full3 = _init_write(
-                db_exp, full3, rows, jnp.int32(start), m=m, spad=spad)
+            db_exp, rr3 = write(db_exp, rr3, rows, jnp.int32(start),
+                                m=m, spad=spad)
         self._db_exp = db_exp
-        self._full3 = full3
+        self._rr3 = rr3
+
+    @classmethod
+    def from_chunks(cls, chunk_iter, n: int, s: int, *, m: int = 4,
+                    rerank_factor: int = 8, approx: bool | None = None,
+                    compact: bool | None = None) -> "MxuSearcher":
+        """Build from an iterator of row chunks (each [8192, S] u32/f32,
+        device or host; the final chunk may be short) without ever holding
+        the full source matrix next to the searcher's representations —
+        the init path for databases near the HBM limit (262k x 12000 f32
+        is 12.6 GB on its own; source + both representations would need
+        ~25 GB resident at once)."""
+        self = cls.__new__(cls)
+        self.s = s
+        self.n = n
+        nb, spad, m = self._resolve_mode(m, compact)
+        self.rerank_factor = rerank_factor
+
+        def as_u32(rows):
+            if isinstance(rows, np.ndarray):
+                u = (rows.view(np.uint32) if rows.dtype == np.float32
+                     else rows.astype(np.uint32))
+                return jnp.asarray(np.ascontiguousarray(u))
+            return (rows.view(jnp.uint32) if rows.dtype == jnp.float32
+                    else rows.astype(jnp.uint32))
+
+        if nb <= 8192:
+            rows_list = [as_u32(r) for r in chunk_iter]
+            rows = (rows_list[0] if len(rows_list) == 1
+                    else jnp.concatenate(rows_list, 0))
+            assert rows.shape == (n, s)
+            if nb > n:
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((nb - n, s), jnp.uint32)], 0)
+            self._fill(iter([rows]), nb, spad)
+            self._finish_init(approx)
+            return self
+
+        def padded_chunks():
+            got = yielded = 0
+            for rows in chunk_iter:
+                assert got % 8192 == 0, "only the final chunk may be short"
+                rows = as_u32(rows)
+                assert rows.shape[1] == s
+                got += rows.shape[0]
+                if rows.shape[0] != 8192:  # pad the tail to the chunk shape
+                    rows = jnp.concatenate(
+                        [rows, jnp.zeros((8192 - rows.shape[0], s), jnp.uint32)], 0)
+                yield rows
+                yielded += 1
+            assert got == n, f"chunks delivered {got} rows, expected {n}"
+            while yielded < nb // 8192:  # remaining bucket pad rows
+                yield jnp.zeros((8192, s), jnp.uint32)
+                yielded += 1
+
+        self._fill(padded_chunks(), nb, spad)
         self._finish_init(approx)
+        return self
 
     def _finish_init(self, approx):
         self._use_pallas = jax.default_backend() == "tpu"
@@ -266,12 +418,16 @@ class MxuSearcher:
         """Dispatch _search_fused in query chunks sized so the pallas
         rerank's scalar-prefetched candidate operand [Qc, C] int32 fits
         SMEM (1 MB/core; e.g. Q=4096 x C=72 x 4 B = 1.18 MB overflows)."""
-        nb_cand = min(max(self.rerank_factor * knbn, 64), self._full3.shape[0])
+        nb_cand = min(max(self.rerank_factor * knbn, 64), self._rr3.shape[0])
         if self._approx:
             # widen the rerank list so approx_max_k's boundary misses stay
             # clear of the true top-k (rerank DMA is bandwidth-bound and
             # cheap relative to the 17 ms exact-top_k saving)
-            nb_cand = min(max(nb_cand + knbn * 4, 96), self._full3.shape[0])
+            nb_cand = min(max(nb_cand + knbn * 4, 96), self._rr3.shape[0])
+        if self.compact:
+            # m=2 halves the estimator's sign bits (noise sd grows sqrt(2)x):
+            # double the rerank list so the true top-k stay inside it
+            nb_cand = min(max(2 * nb_cand, 128), self._rr3.shape[0])
         qb = q_dev.shape[0]
         # the SMEM allocation lane-pads the [Q, C] i32 operand to C->128k
         cand_row_bytes = ((nb_cand + 127) // 128) * 128 * 4
@@ -280,9 +436,10 @@ class MxuSearcher:
             chunk <<= 1
         if chunk >= qb:
             return _search_fused(
-                q_dev, self._db_exp, self._full3, jnp.int32(self.n),
+                q_dev, self._db_exp, self._rr3, jnp.int32(self.n),
                 m=self.m, nb_cand=nb_cand, knbn=knbn, s_true=self.s,
                 use_pallas=self._use_pallas, approx=self._approx,
+                compact=self.compact,
             )
         ds, ids = [], []
         for start in range(0, qb, chunk):
@@ -292,9 +449,10 @@ class MxuSearcher:
                     [rows, jnp.zeros((chunk - rows.shape[0],) + rows.shape[1:],
                                      rows.dtype)], 0)
             d, i = _search_fused(
-                rows, self._db_exp, self._full3, jnp.int32(self.n),
+                rows, self._db_exp, self._rr3, jnp.int32(self.n),
                 m=self.m, nb_cand=nb_cand, knbn=knbn, s_true=self.s,
                 use_pallas=self._use_pallas, approx=self._approx,
+                compact=self.compact,
             )
             ds.append(d)
             ids.append(i)

@@ -50,8 +50,16 @@ NEIGHBORS_FILE = "gsearch.neighbors.txt"
 MATCHES_FILE = "gsearch.matches"
 
 # databases small enough for the exact index (strictly better recall and,
-# on TPU, better throughput than graph traversal at this scale)
-FLAT_AUTO_LIMIT = 200_000
+# on TPU, better throughput than graph traversal at this scale).  The
+# ceiling is one chip's HBM: the MXU searcher's compact representations
+# cost ~4 bytes/slot/genome (ops/mxu.py planned_footprint), so the limit
+# scales with 1/sketch_size — ~250k at the recommended s=12000.
+FLAT_AUTO_CAP = 262_144
+FLAT_AUTO_BYTES = 12_000_000_000
+
+
+def flat_auto_limit(sketch_size: int) -> int:
+    return min(FLAT_AUTO_CAP, FLAT_AUTO_BYTES // max(4 * sketch_size, 1))
 
 
 def _iter_parsed(paths, is_aa: bool, block_flag: bool, computing: ComputingParams,
@@ -195,7 +203,8 @@ def _mesh_size(computing: ComputingParams) -> int:
 def _new_index(params: ProcessingParams, sig_dtype, kind: str, nb_hint: int,
                n_shards: int = 0):
     if kind == "auto":
-        kind = "flat" if nb_hint <= FLAT_AUTO_LIMIT else "hnsw"
+        kind = ("flat" if nb_hint <= flat_auto_limit(params.sketch.sketch_size)
+                else "hnsw")
     if kind == "flat":
         return FlatIndex(params.sketch.sketch_size, sig_dtype)
     hkw = dict(

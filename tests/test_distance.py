@@ -96,3 +96,29 @@ def test_gather_pallas_interpret_2d_and_3d(rng):
         jnp.asarray(db.reshape(n, 8, sp // 8)), jnp.asarray(q),
         jnp.asarray(ids), s_true=s_true, interpret=True))
     np.testing.assert_allclose(d3, want, atol=1e-6)
+
+
+def test_gather_pallas_halves_mode(rng):
+    """halves=True counts equal 16-bit halves of u32 lanes (the compact
+    rerank representation, ops/mxu.py): matches a numpy half-unpack oracle."""
+    from gsearch_tpu.ops.distance import gather_hamming_pallas
+
+    s_true, sp = 1800, 1024  # 1800 hashed slots packed into 900 (+pad) lanes
+    qc, r, n = 8, 16, 64
+    halves_db = rng.integers(0, 4, size=(n, 2 * sp)).astype(np.uint32)
+    halves_q = rng.integers(0, 4, size=(qc, 2 * sp)).astype(np.uint32)
+    halves_db[:, s_true:] = 0  # db col pads 0
+    halves_q[:, s_true:] = 1  # query col pads 1
+    db = halves_db[:, 0::2] | (halves_db[:, 1::2] << 16)
+    q = halves_q[:, 0::2] | (halves_q[:, 1::2] << 16)
+    ids = rng.integers(0, n, size=(qc, r)).astype(np.int32)
+
+    want = np.empty((qc, r), np.float32)
+    for i in range(qc):
+        eq = (halves_db[ids[i], :s_true] == halves_q[i, :s_true]).sum(1)
+        want[i] = (s_true - eq) / np.float32(s_true)
+
+    d = np.asarray(gather_hamming_pallas(
+        jnp.asarray(db), jnp.asarray(q), jnp.asarray(ids), s_true=s_true,
+        interpret=True, halves=True))
+    np.testing.assert_allclose(d, want, atol=1e-6)

@@ -104,3 +104,81 @@ def test_mxu_searcher_bucketing(rng):
     assert (ids[:, 0] == np.arange(3)).all()
     assert (ids < n).all()
     np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-6)
+
+
+def _clustered_db(rng, n_clusters, per, s):
+    """Clusters whose members sit at distinct distances from the center."""
+    centers = rng.integers(0, 1 << 20, size=(n_clusters, s)).astype(np.uint32)
+    base = np.empty((n_clusters * per, s), np.uint32)
+    for c in range(n_clusters):
+        for r in range(per):
+            x = centers[c].copy()
+            n_pert = 5 + 3 * r
+            pos = rng.choice(s, n_pert, replace=False)
+            x[pos] = rng.integers(1 << 20, 1 << 21, size=n_pert, dtype=np.uint32)
+            base[c * per + r] = x
+    return centers, base
+
+
+def test_mxu_compact_matches_exact(rng):
+    """Compact mode (m=2 expansion + packed 16-bit-hash rerank) returns the
+    exact oracle's top-k; distances deviate by at most the 2^-16/slot
+    hash-collision bias."""
+    n_clusters, per, s, k = 10, 70, 256, 10
+    centers, sigs = _clustered_db(rng, n_clusters, per, s)
+    queries = centers.copy()
+
+    searcher = MxuSearcher(sigs, compact=True)
+    assert searcher.compact and searcher.m == 2
+    d_c, ids_c = searcher.search(queries, knbn=k)
+    d_ref, ids_ref = brute_force_knn(
+        jnp.asarray(queries), jnp.asarray(sigs), k, impl="xla")
+    d_ref, ids_ref = np.asarray(d_ref), np.asarray(ids_ref)
+    recall = np.mean([
+        len(set(ids_c[i]) & set(ids_ref[i])) / k for i in range(len(queries))
+    ])
+    assert recall >= 0.95, f"compact recall {recall}"
+    # rank-aligned distance agreement within the hash-collision bias
+    np.testing.assert_allclose(d_c[:, 0], d_ref[:, 0], atol=3.0 / s)
+
+
+def test_mxu_compact_from_chunks(rng):
+    """from_chunks builds the same searcher as the one-shot constructor."""
+    n, s, k = 300, 128, 5
+    sigs = rng.integers(0, 1 << 20, size=(n, s)).astype(np.uint32)
+    whole = MxuSearcher(sigs, compact=True)
+    chunked = MxuSearcher.from_chunks(
+        (sigs[i : i + 100] for i in range(0, n, 100)), n, s, compact=True)
+    q = sigs[:7]
+    d_w, ids_w = whole.search(q, knbn=k)
+    d_c, ids_c = chunked.search(q, knbn=k)
+    np.testing.assert_array_equal(ids_w, ids_c)
+    np.testing.assert_allclose(d_w, d_c, atol=1e-6)
+    assert (ids_c[:, 0] == np.arange(7)).all()
+
+
+def test_mxu_compact_auto_threshold(rng):
+    """Auto mode stays full-fidelity for small databases and the explicit
+    flag forces compact (the auto cutoff needs ~8 GB-scale inputs that do
+    not fit a unit test)."""
+    sigs = rng.integers(0, 1 << 20, size=(64, 64)).astype(np.uint32)
+    assert MxuSearcher(sigs).compact is False
+    assert MxuSearcher(sigs, compact=True).compact is True
+
+
+def test_mxu_big_bucket_fill_paths(rng):
+    """N > 8192 exercises the preallocate+donated-write init in both modes
+    and from_chunks with full 8192-row chunks."""
+    n, s, k = 9000, 64, 5
+    sigs = rng.integers(0, 1 << 20, size=(n, s)).astype(np.uint32)
+    for compact in (False, True):
+        whole = MxuSearcher(sigs, compact=compact)
+        chunked = MxuSearcher.from_chunks(
+            (sigs[i : i + 8192] for i in range(0, n, 8192)), n, s,
+            compact=compact)
+        q = sigs[4000:4008]
+        d_w, ids_w = whole.search(q, knbn=k)
+        d_c, ids_c = chunked.search(q, knbn=k)
+        np.testing.assert_array_equal(ids_w, ids_c)
+        assert (ids_w[:, 0] == np.arange(4000, 4008)).all()
+        np.testing.assert_allclose(d_w[:, 0], 0.0, atol=1e-6)
