@@ -46,45 +46,81 @@ def cmd_identify(args) -> int:
 
     from ..index.bigsi import BigsiIndex
     from ..io.codec import encode_dna
-    from ..io.fasta import parse_fasta
+    from ..io.fasta import parse_reads
 
     idx = BigsiIndex.load(args.bigsi)
     read_len = args.read_len
     batch = args.batch
-    names, buf = [], []
+    paired = len(args.reads) == 2
+    names, buf, buf2 = [], [], []
     summary = Counter()
+    frac_sum = Counter()
     nb_reads = 0
-    out = open(args.output, "w")
+    out_path = args.output + "_reads.txt"
+    out = open(out_path, "w")
     out.write("read_id\tgenome\thits\ttotal_kmers\tcorrected_fraction\n")
+
+    def to_codes(seq: bytes) -> np.ndarray:
+        codes = encode_dna(seq)
+        if len(codes) < read_len:
+            codes = np.pad(codes, (0, read_len - len(codes)), constant_values=255)
+        return codes[:read_len]
 
     def flush():
         nonlocal nb_reads
         if not buf:
             return
-        reads = np.stack(buf)
-        for rid, hits in zip(names, idx.classify(reads, min_fraction=args.min_fraction)):
+        counts, totals = idx.raw_counts(np.stack(buf), down_sample=args.down_sample)
+        if buf2:
+            # paired-end: sum both mates' evidence before scoring
+            # (reference: per_read_stream_pe, bigsig.rs:382-397)
+            c2, t2 = idx.raw_counts(np.stack(buf2), down_sample=args.down_sample)
+            counts, totals = counts + c2, totals + t2
+        scored = idx.score_counts(counts, totals,
+                                  min_fraction=args.min_fraction,
+                                  fp_exponent=args.fp_correct)
+        for rid, hits in zip(names, scored):
             nb_reads += 1
             if hits:
                 for name, h, t, frac in hits[: args.max_hits]:
                     out.write(f"{rid}\t{name}\t{h}\t{t}\t{frac:.4f}\n")
                 summary[hits[0][0]] += 1
+                frac_sum[hits[0][0]] += hits[0][3]
             else:
                 summary["<unclassified>"] += 1
         names.clear()
         buf.clear()
+        buf2.clear()
 
-    for rec in parse_fasta(args.reads):
-        codes = encode_dna(rec.seq)
-        # fixed-shape batching: pad/truncate to read_len
-        if len(codes) < read_len:
-            codes = np.pad(codes, (0, read_len - len(codes)), constant_values=255)
-        buf.append(codes[:read_len])
-        names.append(rec.fasta_id)
-        if len(buf) >= batch:
-            flush()
+    streams = [parse_reads(p, quality_min=args.quality) for p in args.reads]
+    if paired:
+        for r1, r2 in zip(*streams):
+            buf.append(to_codes(r1.seq))
+            buf2.append(to_codes(r2.seq))
+            names.append(r1.fasta_id)
+            if len(buf) >= batch:
+                flush()
+    else:
+        for rec in streams[0]:
+            buf.append(to_codes(rec.seq))
+            names.append(rec.fasta_id)
+            if len(buf) >= batch:
+                flush()
     flush()
     out.close()
-    print(f"classified {nb_reads} reads -> {args.output}")
+
+    # five-field per-genome summary (reference:
+    # reports::read_counts_five_fields, bigsig.rs:507)
+    counts_path = args.output + "_counts.txt"
+    with open(counts_path, "w") as cf:
+        cf.write("genome\treads\tpct_of_reads\tavg_top_fraction\tkind\n")
+        for name, c in summary.most_common():
+            kind = "unclassified" if name == "<unclassified>" else "genome"
+            avg = frac_sum[name] / c if c and name in frac_sum else 0.0
+            cf.write(f"{name}\t{c}\t{100.0 * c / max(nb_reads, 1):.2f}\t"
+                     f"{avg:.4f}\t{kind}\n")
+    mode = "paired-end" if paired else "single-end"
+    print(f"classified {nb_reads} {mode} reads -> {out_path}, {counts_path}")
     for name, c in summary.most_common(10):
         print(f"  {name}: {c}")
     return 0
@@ -106,12 +142,23 @@ def main(argv=None) -> int:
 
     i = sub.add_parser("identify")
     i.add_argument("-b", "--bigsi", required=True, help="index prefix")
-    i.add_argument("-q", "--reads", required=True, help="reads FASTA")
-    i.add_argument("-o", "--output", default="bigsig.out")
+    i.add_argument("-q", "--reads", required=True, nargs="+",
+                   help="reads FASTA/FASTQ(.gz/.xz/.bz2/.zst); two files = "
+                        "paired-end (reference: bigsig.rs:122-125)")
+    i.add_argument("-o", "--output", default="bigsig",
+                   help="output prefix -> <prefix>_reads.txt + <prefix>_counts.txt")
     i.add_argument("--read_len", type=int, default=256)
     i.add_argument("--batch", type=int, default=4096)
     i.add_argument("--min_fraction", type=float, default=0.7)
     i.add_argument("--max_hits", type=int, default=5)
+    i.add_argument("-d", "--down_sample", type=int, default=1,
+                   help="probe every Nth k-mer (reference: bigsig.rs:154-160)")
+    i.add_argument("-c", "--fp_correct", type=float, default=0.0,
+                   help="also require binomial P(hits|FP) < 10^-VALUE "
+                        "(reference default 3.0, bigsig.rs:168-175; 0 = off)")
+    i.add_argument("-Q", "--quality", type=int, default=15,
+                   help="mask FASTQ bases with phred < VALUE "
+                        "(reference: bigsig.rs:176-182)")
 
     args = ap.parse_args(argv)
     from ..utils import enable_compilation_cache

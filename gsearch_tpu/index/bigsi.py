@@ -40,6 +40,27 @@ log = get_logger(__name__)
 _POS_SEED = 0xB165B165
 
 
+def _binom_sf_log10(k: int, n: int, p: float) -> float:
+    """log10 P(X >= k), X ~ Binomial(n, p) — exact via log-gamma sums.
+    n is a read's k-mer count (hundreds), so the direct sum is cheap."""
+    import math
+
+    if k <= 0:
+        return 0.0
+    if p <= 0.0:
+        return -math.inf
+    if p >= 1.0:
+        return 0.0
+    lp, lq = math.log(p), math.log1p(-p)
+    lgn = math.lgamma(n + 1)
+    terms = [
+        lgn - math.lgamma(j + 1) - math.lgamma(n - j + 1) + j * lp + (n - j) * lq
+        for j in range(k, n + 1)
+    ]
+    m = max(terms)
+    return (m + math.log(sum(math.exp(t - m) for t in terms))) / math.log(10)
+
+
 class BigsiIndex:
     def __init__(self, bloom_len: int, nb_hashes: int, kmer_size: int,
                  minimizer_window: int = 0, seed: int = 0x5EED):
@@ -128,8 +149,8 @@ class BigsiIndex:
 
     # ------------------------------------------------------------------ query
 
-    def _classify_fn(self, read_len: int, batch: int):
-        ck = ("cls", read_len, batch)
+    def _classify_fn(self, read_len: int, batch: int, down_sample: int = 1):
+        ck = ("cls", read_len, batch, down_sample)
         if ck in self._fn_cache:
             return self._fn_cache[ck]
         nw = self._bits.shape[1]
@@ -137,6 +158,11 @@ class BigsiIndex:
 
         def run_bits(codes: jnp.ndarray):  # [batch, read_len]
             hi, lo, valid = canonical_dna_windows(codes, self.kmer_size)
+            if down_sample > 1:
+                # probe every Nth k-mer position (identify --down_sample,
+                # reference: bigsig.rs:332-335)
+                keep = jnp.arange(valid.shape[1]) % down_sample == 0
+                valid = valid & keep[None, :]
             if self.minimizer_window > 1:
                 # thin query k-mers exactly like the index build
                 w = self.minimizer_window
@@ -163,33 +189,61 @@ class BigsiIndex:
         self._fn_cache[ck] = jax.jit(run_bits)
         return self._fn_cache[ck]
 
-    def classify(
-        self, reads: np.ndarray, min_fraction: float = 0.7
-    ) -> List[List[Tuple[str, int, int, float]]]:
-        """Classify a batch of fixed-length reads (uint8 code array [R, L]).
-
-        Returns, per read, the genomes whose FP-corrected k-mer hit fraction
-        passes min_fraction: (name, hits, total_kmers, corrected_fraction)
-        (reference scoring: binomial FP correction, bigsig.rs:336-341)."""
+    def raw_counts(
+        self, reads: np.ndarray, down_sample: int = 1
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-read per-genome k-mer hit counts + probed k-mer totals
+        ([R, G] i32, [R] i32) — the device pass behind classify; exposed so
+        paired-end callers can sum both mates' counts before scoring
+        (reference: per_read_stream_pe, bigsig.rs:382-397)."""
         r, l = reads.shape
-        counts, totals = self._classify_fn(l, r)(jnp.asarray(reads))
-        counts = np.asarray(counts)[:, : self.nb_genomes]
-        totals = np.asarray(totals)
-        # per-genome Bloom FP rate: (ones/m)^h
+        counts, totals = self._classify_fn(l, r, down_sample)(jnp.asarray(reads))
+        return np.asarray(counts)[:, : self.nb_genomes], np.asarray(totals)
+
+    def fp_rates(self) -> np.ndarray:
+        """Per-genome Bloom false-positive rate (ones/m)^h."""
         ones = np.array(self._ones_per_genome, dtype=np.float64)
-        fp = (ones / self.bloom_len) ** self.nb_hashes
+        return (ones / self.bloom_len) ** self.nb_hashes
+
+    def score_counts(
+        self,
+        counts: np.ndarray,
+        totals: np.ndarray,
+        min_fraction: float = 0.7,
+        fp_exponent: float = 0.0,
+    ) -> List[List[Tuple[str, int, int, float]]]:
+        """Score hit counts: genomes whose FP-corrected hit fraction passes
+        min_fraction, optionally ALSO requiring the binomial tail
+        P(X >= hits | Bin(total, fp_rate)) < 10^-fp_exponent (the
+        reference's fp_correct test, bigsig.rs:336-341)."""
+        fp = self.fp_rates()
         out = []
-        for i in range(r):
+        for i in range(counts.shape[0]):
             t = int(totals[i])
             hits = []
             if t > 0:
                 expected_fp = fp * t
                 corrected = (counts[i] - expected_fp) / t
                 for g in np.nonzero(corrected >= min_fraction)[0]:
+                    if fp_exponent > 0.0 and _binom_sf_log10(
+                            int(counts[i][g]), t, fp[g]) >= -fp_exponent:
+                        continue
                     hits.append((self.names[g], int(counts[i][g]), t, float(corrected[g])))
                 hits.sort(key=lambda x: -x[3])
             out.append(hits)
         return out
+
+    def classify(
+        self, reads: np.ndarray, min_fraction: float = 0.7,
+        down_sample: int = 1, fp_exponent: float = 0.0,
+    ) -> List[List[Tuple[str, int, int, float]]]:
+        """Classify a batch of fixed-length reads (uint8 code array [R, L]).
+
+        Returns, per read, the genomes whose FP-corrected k-mer hit fraction
+        passes min_fraction: (name, hits, total_kmers, corrected_fraction)
+        (reference scoring: binomial FP correction, bigsig.rs:336-341)."""
+        counts, totals = self.raw_counts(reads, down_sample)
+        return self.score_counts(counts, totals, min_fraction, fp_exponent)
 
     # --------------------------------------------------------------------- io
 

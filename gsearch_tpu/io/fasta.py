@@ -89,6 +89,54 @@ def parse_fasta(path: str | None = None, data: bytes | None = None) -> Iterator[
         )
 
 
+def parse_fastq(
+    path: str | None = None,
+    data: bytes | None = None,
+    quality_min: int = 0,
+) -> Iterator[FastaRecord]:
+    """Stream FASTQ records (4-line form, transparent decompression).
+
+    Bases whose phred+33 quality is below quality_min are masked to 'N'
+    (-> invalid code -> k-mer break), the reference's read-quality filter
+    (bigsig identify --quality, binaux/src/bin/bigsig.rs:176-181)."""
+    if data is None:
+        assert path is not None
+        data = read_file_bytes(path)
+    lines = data.split(b"\n")
+    for i in range(0, len(lines) - 3, 4):
+        head = lines[i].strip()
+        if not head.startswith(b"@"):
+            continue
+        seq = lines[i + 1].strip()
+        if quality_min > 0:
+            qual = lines[i + 3].strip()
+            sa = np.frombuffer(seq, np.uint8).copy()
+            qa = np.frombuffer(qual[: len(sa)], np.uint8)
+            sa[: len(qa)][qa < 33 + quality_min] = ord("N")
+            seq = sa.tobytes()
+        fid = head[1:].split()[0].decode("utf-8", "replace") if len(head) > 1 else ""
+        yield FastaRecord(fasta_id=fid, seq=seq,
+                          header=head[1:].decode("utf-8", "replace"))
+
+
+def is_fastq_file(name: str) -> bool:
+    base = name
+    for c in (".gz", ".xz", ".bz2", ".zst", ".zstd"):
+        if base.endswith(c):
+            base = base[: -len(c)]
+            break
+    return base.endswith((".fq", ".fastq"))
+
+
+def parse_reads(path: str, quality_min: int = 0) -> Iterator[FastaRecord]:
+    """FASTA or FASTQ reads by suffix (the reference dispatches identify
+    input the same way: fastq.gz -> per_read_stream_*, else stream_fasta,
+    bigsig.rs:380-456)."""
+    if is_fastq_file(path):
+        return parse_fastq(path, quality_min=quality_min)
+    return parse_fasta(path)
+
+
 def _encoder(is_aa: bool) -> Callable[[bytes], np.ndarray]:
     return encode_aa if is_aa else encode_dna
 

@@ -140,3 +140,86 @@ def test_ani_regression_hook(tmp_path):
     p.write_text('{"intercept": 1.0, "ani": 0.99, "af": 0.5}')
     m = AniRegression.load(str(p))
     assert abs(m.predict(97.0, 0.8) - (1.0 + 0.99 * 97.0 + 0.4)) < 1e-9
+
+
+def test_fastq_parse_and_quality_mask(tmp_path):
+    from gsearch_tpu.io.fasta import parse_fastq, parse_reads, is_fastq_file
+
+    fq = (b"@r1 desc\nACGTACGT\n+\nIIII!!II\n"
+          b"@r2\nTTTTGGGG\n+\nIIIIIIII\n")
+    p = tmp_path / "reads.fq"
+    p.write_bytes(fq)
+    recs = list(parse_fastq(str(p), quality_min=15))
+    assert [r.fasta_id for r in recs] == ["r1", "r2"]
+    # '!' = phred 0 < 15 -> masked to N
+    assert recs[0].seq == b"ACGTNNGT"
+    assert recs[1].seq == b"TTTTGGGG"
+    # no masking when quality_min=0
+    assert list(parse_fastq(str(p)))[0].seq == b"ACGTACGT"
+    assert is_fastq_file("x.fastq.gz") and is_fastq_file("x.fq")
+    assert not is_fastq_file("x.fna.gz")
+    # dispatcher returns fastq records for .fq paths
+    assert [r.fasta_id for r in parse_reads(str(p))] == ["r1", "r2"]
+
+
+def test_bigsi_downsample_and_fp_correct(rng):
+    from gsearch_tpu.index.bigsi import BigsiIndex, _binom_sf_log10
+    from gsearch_tpu.io.codec import encode_dna
+
+    g = random_dna(rng, 20_000)
+    idx = BigsiIndex(bloom_len=60_000, nb_hashes=2, kmer_size=21)
+    idx.insert_genome("g", encode_dna(g))
+    read = encode_dna(g[500:756])[None, :]
+    full = idx.classify(read, min_fraction=0.5)
+    half = idx.classify(read, min_fraction=0.5, down_sample=2)
+    assert full[0][0][0] == "g" and half[0][0][0] == "g"
+    # down-sampling probes ~half the k-mers
+    assert abs(half[0][0][2] - full[0][0][2] / 2) <= 1
+    # fp test: a perfect hit passes even a strict exponent
+    strict = idx.classify(read, min_fraction=0.5, fp_exponent=6.0)
+    assert strict[0] and strict[0][0][0] == "g"
+    # sanity of the binomial tail: P(X>=large | tiny p) is tiny
+    assert _binom_sf_log10(50, 100, 0.01) < -30
+    assert _binom_sf_log10(0, 100, 0.5) == 0.0
+
+
+def test_bigsig_cli_paired_end(rng, tmp_path):
+    """identify with two FASTQ files = paired-end; writes _reads.txt and
+    the five-field _counts.txt summary."""
+    import gzip
+
+    from gsearch_tpu.cli.bigsig import main
+
+    genomes = {f"g{i}": random_dna(rng, 25_000) for i in range(3)}
+    refs = tmp_path / "refs"
+    refs.mkdir()
+    for name, g in genomes.items():
+        (refs / f"{name}.fna").write_bytes(b">" + name.encode() + b"\n" + g + b"\n")
+    prefix = str(tmp_path / "idx")
+    assert main(["construct", "-r", str(refs), "-b", prefix,
+                 "--bloom", "200000", "-k", "21"]) == 0
+
+    # paired reads from g1: mates from the two ends of a 600-base fragment
+    r1_lines, r2_lines = [], []
+    for i in range(8):
+        start = int(rng.integers(0, 25_000 - 600))
+        frag = genomes["g1"][start : start + 600]
+        q = b"I" * 250
+        r1_lines.append(b"@p%d\n" % i + frag[:250] + b"\n+\n" + q + b"\n")
+        r2_lines.append(b"@p%d\n" % i + frag[-250:] + b"\n+\n" + q + b"\n")
+    (tmp_path / "r1.fq.gz").write_bytes(gzip.compress(b"".join(r1_lines)))
+    (tmp_path / "r2.fq.gz").write_bytes(gzip.compress(b"".join(r2_lines)))
+
+    out = str(tmp_path / "cls")
+    rc = main(["identify", "-b", prefix, "-q",
+               str(tmp_path / "r1.fq.gz"), str(tmp_path / "r2.fq.gz"),
+               "-o", out, "--read_len", "250", "--min_fraction", "0.5",
+               "--fp_correct", "3.0"])
+    assert rc == 0
+    body = open(out + "_reads.txt").read()
+    assert body.count("g1.fna\t") >= 8  # every pair classified to g1
+    assert "g2.fna" not in body
+    counts = open(out + "_counts.txt").read().splitlines()
+    assert counts[0].startswith("genome\treads\t")
+    top = counts[1].split("\t")
+    assert top[0].endswith("g1.fna") and int(top[1]) == 8
