@@ -244,11 +244,13 @@ class MxuSearcher:
     COMPACT_BYTES = 8_000_000_000
 
     def __init__(self, sigs: np.ndarray, m: int = 4, rerank_factor: int = 8,
-                 approx: bool | None = None, compact: bool | None = None):
+                 approx: bool | None = None, compact: bool | None = None,
+                 nb_cand: int | None = None):
         self.s = sigs.shape[1]
         self.n = sigs.shape[0]
         nb, spad, m = self._resolve_mode(m, compact)
         self.rerank_factor = rerank_factor
+        self.nb_cand_override = nb_cand
         pad = nb - self.n
         on_device = isinstance(sigs, jax.Array) and not isinstance(sigs, np.ndarray)
         if on_device:
@@ -321,7 +323,8 @@ class MxuSearcher:
     @classmethod
     def from_chunks(cls, chunk_iter, n: int, s: int, *, m: int = 4,
                     rerank_factor: int = 8, approx: bool | None = None,
-                    compact: bool | None = None) -> "MxuSearcher":
+                    compact: bool | None = None,
+                    nb_cand: int | None = None) -> "MxuSearcher":
         """Build from an iterator of row chunks (each [8192, S] u32/f32,
         device or host; the final chunk may be short) without ever holding
         the full source matrix next to the searcher's representations —

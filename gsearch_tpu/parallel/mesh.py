@@ -222,6 +222,127 @@ def shard_database(db: np.ndarray, mesh: Mesh) -> jax.Array:
     return jax.device_put(db, jax.sharding.NamedSharding(mesh, spec))
 
 
+def sharded_mxu_knn(mesh: Mesh, s_total: int, knbn: int, *, m: int,
+                    nb_cand: int, use_pallas: bool):
+    """Sharded compact-MXU search step: every chip scores its row shard on
+    the MXU (sign-expansion estimator, ops/mxu.py), reranks its own
+    candidates from its packed-hash shard, and the per-shard top-k merge
+    rides one ICI all_gather — the multi-chip form of the compact searcher
+    (per-chip capacity ~262k x 12000; capacity AND throughput scale
+    linearly with chips).
+
+    step(exp_local [Nl, m*S] i8, rr_local [Nl, 8, Sp/16] u32,
+         q [Q, S] u32 replicated, n_live) -> (d [Q, k], ids [Q, k])
+    """
+    from ..ops.mxu import _mxu_candidates, _rerank, expand_signs
+
+    in_specs = (P("d", None), P("d", None, None), P(None, None), P())
+    out_specs = (P(None, None), P(None, None))
+
+    def step(exp_local, rr_local, q, n_live):
+        q_exp = expand_signs(q, m=m)
+        cand = _mxu_candidates(q_exp, exp_local, min(nb_cand, exp_local.shape[0]))
+        shard = jax.lax.axis_index("d")
+        base = shard * exp_local.shape[0]
+        k = min(knbn, exp_local.shape[0])
+        d, sel = _rerank(q, rr_local, cand,
+                         jnp.int32(exp_local.shape[0]), k, s_total,
+                         use_pallas, True)
+        gsel = sel + base
+        d = jnp.where(gsel < n_live, d, jnp.inf)
+        all_d = jax.lax.all_gather(d, "d", axis=1, tiled=True)  # [Q, D*k]
+        all_g = jax.lax.all_gather(gsel, "d", axis=1, tiled=True)
+        neg2, pick = jax.lax.top_k(-all_d, knbn)
+        return -neg2, jnp.take_along_axis(all_g, pick, axis=1)
+
+    fn = jax.shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_vma=False)
+    return jax.jit(fn)
+
+
+class MeshMxuSearcher:
+    """Row-sharded compact-MXU k-NN: MeshSearcher's exact merge with the
+    single-chip compact searcher's per-shard scoring.  Each device holds
+    the m-bit sign expansion + packed 16-bit-hash rerank representation of
+    its row shard (48 KB/row at S=12000, m=2), so an 8-chip mesh serves
+    ~2M genomes at MXU throughput instead of the VPU sweep's.
+
+    Near-exact like compact mode: distances can differ from exact by
+    ~2/S (16-bit hash collisions)."""
+
+    def __init__(self, sigs: np.ndarray, mesh: Mesh | None = None,
+                 n_devices: int | None = None, m: int = 2,
+                 rerank_factor: int = 8):
+        from ..ops.mxu import _init_write_compact
+
+        self.mesh = mesh or make_device_mesh(n_devices)
+        assert "s" not in self.mesh.axis_names, \
+            "compact mesh search shards rows only (use a 1-D mesh)"
+        d = int(np.prod(self.mesh.devices.shape))
+        n, s = sigs.shape
+        self.n = n
+        self.s_total = s
+        self.m = m
+        self.rerank_factor = rerank_factor
+        spad = ((s + 2047) // 2048) * 2048
+        # per-shard rows, padded so chunked uploads stay shard-aligned
+        nl = -(-n // d)
+        nl = ((nl + 1023) // 1024) * 1024
+        nbig = nl * d
+        u = sigs.view(np.uint32) if sigs.dtype == np.float32 else sigs
+        shd = jax.sharding.NamedSharding(self.mesh, P("d", None))
+        shd3 = jax.sharding.NamedSharding(self.mesh, P("d", None, None))
+        exp = jax.device_put(np.zeros((nbig, s * m), np.int8), shd)
+        rr3 = jax.device_put(np.zeros((nbig, 8, spad // 16), np.uint32), shd3)
+        # one shard_map init per row chunk: each chip expands+packs its
+        # slice of the chunk locally (donated in-place writes)
+        init = jax.jit(
+            jax.shard_map(
+                lambda e, r, rows, start: _init_write_compact(
+                    e, r, rows, start, m=m, spad=spad),
+                mesh=self.mesh,
+                in_specs=(P("d", None), P("d", None, None), P("d", None), P()),
+                out_specs=(P("d", None), P("d", None, None)),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
+        chunk = 1024 * d  # rows per upload, shard-divisible
+        for start in range(0, nbig, chunk):
+            rows = np.zeros((chunk, s), np.uint32)
+            # interleave: global row g lives at shard g//nl, local g%nl —
+            # upload in SHARD layout so each chip writes a contiguous slab
+            for sh in range(d):
+                g0 = sh * nl + start // d
+                take = min(max(n - g0, 0), chunk // d)
+                if take > 0:
+                    rows[sh * (chunk // d): sh * (chunk // d) + take] = \
+                        u[g0 : g0 + take]
+            rows_dev = jax.device_put(rows, shd)
+            exp, rr3 = init(exp, rr3, rows_dev, jnp.int32(start // d))
+        self._exp = exp
+        self._rr3 = rr3
+        self._nl = nl
+        self._use_pallas = jax.default_backend() == "tpu"
+        self._fns: dict = {}
+
+    def search(self, queries: np.ndarray, knbn: int, ef_search: int = 0):
+        """(distances [Q, k], ids [Q, k]); ef_search ignored (full sweep)."""
+        del ef_search
+        knbn = min(knbn, self.n)
+        q = queries.view(np.uint32) if queries.dtype == np.float32 else queries
+        nb_cand = max(2 * self.rerank_factor * knbn, 128)
+        fn = self._fns.get(knbn)
+        if fn is None:
+            fn = self._fns[knbn] = sharded_mxu_knn(
+                self.mesh, self.s_total, knbn, m=self.m, nb_cand=nb_cand,
+                use_pallas=self._use_pallas)
+        d, ids = fn(self._exp, self._rr3, jnp.asarray(q), jnp.int32(self.n))
+        # buffer index == original rank by construction (see __init__ chunk
+        # placement), so ids need no remapping
+        return np.asarray(d), np.asarray(ids)
+
+
 class MeshGraphSearcher:
     """Graph traversal over a mesh: one shard_map dispatch searches every
     subgraph of a ShardedHnswIndex on its own device and merges the

@@ -317,10 +317,21 @@ def request_database(
         elif computing.mesh_devices:
             # row-shard the database over the mesh and merge per-shard
             # top-k over ICI — the first-class form of the reference's
-            # multiple_search.sh (exact, so ef_search is moot)
-            from .parallel.mesh import MeshSearcher
+            # multiple_search.sh (exact, so ef_search is moot).  On TPU at
+            # MXU scale every chip scores its shard with the compact MXU
+            # estimator + local rerank instead of the VPU sweep (~270x at
+            # 262k rows/chip, near-exact: MXU262K_BENCH.json)
+            import jax as _jax
 
-            searcher = MeshSearcher(index.get_sigs(), n_devices=nd)
+            from .index.flat import FlatIndex
+            from .parallel.mesh import MeshMxuSearcher, MeshSearcher
+
+            db_sigs = index.get_sigs()
+            if (_jax.default_backend() == "tpu"
+                    and db_sigs.shape[0] >= FlatIndex.MXU_MIN_POINTS):
+                searcher = MeshMxuSearcher(db_sigs, n_devices=nd)
+            else:
+                searcher = MeshSearcher(db_sigs, n_devices=nd)
             dists, ids = searcher.search(np.stack(sigs), knbn=nb_answers)
         else:
             dists, ids = index.search(np.stack(sigs), knbn=nb_answers, ef_search=ef_search)

@@ -261,3 +261,32 @@ def test_mesh_pipeline_sharded_hnsw_e2e(rng, tmp_path):
                            out_dir=str(odir))
     assert res["nb_requests"] == 1
     assert "g5.fna" in (odir / "gsearch.neighbors.txt").read_text()
+
+
+def test_mesh_mxu_searcher_matches_exact(rng):
+    """MeshMxuSearcher (sharded compact-MXU scoring + local rerank + ICI
+    merge) returns the exact searcher's neighbors, including non-divisible
+    N; distances agree within the 16-bit hash-collision bias (~2/S)."""
+    from gsearch_tpu.parallel.mesh import MeshMxuSearcher, MeshSearcher
+
+    n, s, k = 1100, 256, 7  # forces pad rows on the last shard
+    # clusters with distinct member distances -> unambiguous top-k
+    centers = rng.integers(0, 1 << 20, size=(11, s)).astype(np.uint32)
+    sigs = np.empty((n, s), np.uint32)
+    for i in range(n):
+        c = centers[i % 11].copy()
+        n_pert = 5 + 2 * (i // 11)
+        pos = rng.choice(s, min(n_pert, s), replace=False)
+        c[pos] = rng.integers(1 << 20, 1 << 21, size=len(pos), dtype=np.uint32)
+        sigs[i] = c
+    queries = centers.copy()
+
+    exact = MeshSearcher(sigs, n_devices=8)
+    d0, ids0 = exact.search(queries, knbn=k)
+    mx = MeshMxuSearcher(sigs, n_devices=8)
+    d, ids = mx.search(queries, knbn=k)
+    assert ids.max() < n
+    recall = np.mean([len(set(ids[i]) & set(ids0[i])) / k
+                      for i in range(len(queries))])
+    assert recall >= 0.95, f"sharded-mxu recall {recall}"
+    np.testing.assert_allclose(d[:, 0], d0[:, 0], atol=3.0 / s)
