@@ -69,6 +69,98 @@ _PAD = -1  # host-side padding for absent neighbors
 _RERANK_DEVICE_BYTES = int(os.environ.get("GSEARCH_TPU_RERANK_DEVICE_BYTES", 13_000_000_000))
 
 
+def _forward_rows(cand_ids, cand_d, keep, *, base, valid_limit, n_total,
+                  m0, m_near, sent, b_real):
+    """Vectorized forward-link selection for a batch of points with ids
+    base..base+B (shared by the incremental insert and the bulk build).
+
+    Partitioned rows:
+      near region [0, m_near): nearest candidates by distance (pruned ones
+        included — local recall needs dense short links),
+      far region [m_near, m0): heuristic SURVIVORS beyond the near cutoff —
+        the diverse long links that keep dense clusters reachable.  A plain
+        nearest-only fill measurably disconnects clusters (262k recall
+        collapsed to the entry tier's cluster-coverage rate); the reference
+        relies on the same heuristic with keeping_pruned(false),
+        dnasketch.rs:159-160.
+      tail: degree-4 pseudo-random long links (golden-stride in the node
+        id) — connectivity insurance when a candidate pool sits entirely
+        inside one dense cluster."""
+    B = cand_ids.shape[0]
+    cand_d = np.array(cand_d)
+    # invalidate pad-mates (ids beyond the live set) and self refs
+    cand_d[cand_ids >= valid_limit] = np.inf
+    finite = np.isfinite(cand_d)
+    good = keep & finite
+    rows_ids = np.full((B, m0), sent, dtype=np.int32)
+    rows_d = np.full((B, m0), np.inf, dtype=np.float32)
+    fin_rank = np.cumsum(finite, axis=1) - 1
+    near_take = finite & (fin_rank < m_near)
+    r_i, _ = np.nonzero(near_take)
+    rows_ids[r_i, fin_rank[near_take]] = cand_ids[near_take]
+    rows_d[r_i, fin_rank[near_take]] = cand_d[near_take]
+    m_far = m0 - m_near
+    beyond = finite & (fin_rank >= m_near)
+    # far slots: heuristic survivors beyond the cutoff first (the long
+    # links), then next-nearest pruned candidates to keep the local graph
+    # dense when few survivors exist
+    key = np.where(beyond & good, np.int8(0),
+                   np.where(beyond, np.int8(1), np.int8(2)))
+    o2 = np.argsort(key, axis=1, kind="stable")
+    far_ids = np.take_along_axis(cand_ids, o2, axis=1)[:, :m_far]
+    far_d = np.take_along_axis(cand_d, o2, axis=1)[:, :m_far]
+    far_ok = np.take_along_axis(key < 2, o2, axis=1)[:, :m_far]
+    rows_ids[:, m_near:] = np.where(far_ok, far_ids, sent)
+    rows_d[:, m_near:] = np.where(far_ok, far_d.astype(np.float32), np.inf)
+    rl = min(4, m_far)
+    me_col = (base + np.arange(B, dtype=np.uint64))[:, None]
+    jj = np.arange(1, rl + 1, dtype=np.uint64)[None, :]
+    rnd = ((me_col * np.uint64(0x9E3779B1) + jj * np.uint64(0x85EBCA77))
+           % np.uint64(n_total)).astype(np.int32)
+    rnd = np.where(rnd == (base + np.arange(B))[:, None],
+                   (rnd + 1) % n_total, rnd)
+    rows_ids[:, m0 - rl:] = rnd
+    rows_d[:, m0 - rl:] = np.inf
+    if b_real < B:
+        rows_ids[b_real:] = sent
+        rows_d[b_real:] = np.inf
+    return rows_ids, rows_d
+
+
+def _group_reverse(rows_ids, rows_d, *, base, b_real, mmax, rin, sent):
+    """Group a batch's reverse links by target: sorted (target, dist)
+    triples, capped at `rin` incoming per target (the merge keeps the
+    nearest by cached link distance downstream)."""
+    B, _ = rows_ids.shape
+    me = (base + np.arange(B, dtype=np.int32))[:, None]
+    valid = (rows_ids != sent) & (me < base + b_real)
+    # reverse only the closest `max_nb_conn` forward links (layer-0
+    # reverse degree pressure control, matching hnsw_rs's m)
+    valid[:, mmax:] = False
+    tgt = rows_ids[valid]
+    src = np.broadcast_to(me, rows_ids.shape)[valid]
+    dd = rows_d[valid]
+    ub = B * mmax
+    inc_tgt = np.full(ub, sent, np.int32)
+    inc_ids = np.full((ub, rin), sent, np.int32)
+    inc_d = np.full((ub, rin), np.inf, np.float32)
+    if tgt.size:
+        o = np.lexsort((dd, tgt))
+        tgt, src, dd = tgt[o], src[o], dd[o]
+        first = np.empty(len(tgt), bool)
+        first[0] = True
+        np.not_equal(tgt[1:], tgt[:-1], out=first[1:])
+        seg = np.cumsum(first) - 1
+        seg_start = np.flatnonzero(first)
+        rank = np.arange(len(tgt)) - seg_start[seg]
+        sel = rank < rin
+        u = int(seg[-1]) + 1
+        inc_tgt[:u] = tgt[first]
+        inc_ids[seg[sel], rank[sel]] = src[sel]
+        inc_d[seg[sel], rank[sel]] = dd[sel]
+    return inc_tgt, inc_ids, inc_d
+
+
 def _next_pow2(n: int, floor: int = 16) -> int:
     b = floor
     while b < n:
@@ -120,6 +212,11 @@ class HnswIndex:
         self._nbrs = np.empty((0, self.m0), dtype=np.int32)
         self._nbr_d = np.empty((0, self.m0), dtype=np.float32)
         self._entry_ids = np.empty((0,), dtype=np.int32)
+        # permanently-pinned entry ids: points whose nearest pre-existing
+        # neighbor at add time was ~max distance (novel cluster — graph
+        # navigation has no gradient toward them, so the exact-swept entry
+        # tier must cover them directly)
+        self._pinned = np.empty((0,), dtype=np.int32)
         self._device = None       # (sigs_p, nbrs_p, entries) for search
         self._device_full = None  # [nb+1, S] full sigs for device rerank
 
@@ -162,6 +259,9 @@ class HnswIndex:
         # one entry every k-th CLUSTER and recall collapses to the covered
         # fraction); the Fibonacci-hash stride is order-free
         idx = (np.arange(t, dtype=np.uint64) * np.uint64(2654435761)) % np.uint64(n)
+        pins = self._pinned[self._pinned < n]
+        if pins.size:
+            return np.unique(np.concatenate([idx.astype(np.int32), pins]))
         return np.unique(idx.astype(np.int32))
 
     def _refresh_entries(self) -> None:
@@ -169,8 +269,16 @@ class HnswIndex:
 
     # ------------------------------------------------------------------ build
 
+    #: fresh builds at least this large route through the bulk MXU-sweep
+    #: constructor (env GSEARCH_TPU_BULK_MIN overrides)
+    BULK_MIN = int(os.environ.get("GSEARCH_TPU_BULK_MIN", "32768"))
+
+    #: novelty threshold for entry pinning: a point whose nearest
+    #: pre-existing neighbor is at >= PIN_D joins the entry tier for good
+    PIN_D = float(os.environ.get("GSEARCH_TPU_PIN_D", "0.98"))
+
     def insert(self, sigs: np.ndarray, batch_size: int = 1024,
-               capacity: int = 0, progress=None) -> None:
+               capacity: int = 0, progress=None, bulk: bool | None = None) -> None:
         """Batched graph construction (role of parallel_insert,
         dnasketch.rs:426-436).  All graph state stays on device across the
         whole call; only candidate lists and link updates cross the relay.
@@ -178,12 +286,20 @@ class HnswIndex:
         `capacity` (like Hnsw::new's, dnasketch.rs:139) pre-sizes the
         compiled programs: chunked/incremental inserts up to that many
         points all reuse one compilation.  `progress(rows_done, total)` is
-        called after each applied batch (benchmark instrumentation)."""
+        called after each applied batch (benchmark instrumentation).
+
+        Fresh builds of >= BULK_MIN points take the bulk path (exact MXU
+        kNN sweep -> heuristic links, _build_bulk) unless bulk=False;
+        incremental growth (`add`) always uses the beam-insert path."""
         sigs = np.ascontiguousarray(sigs, dtype=self.sig_dtype)
         m = sigs.shape[0]
         if m == 0:
             return
         n0 = self.nb_points
+        if bulk is None:
+            bulk = n0 == 0 and m >= self.BULK_MIN
+        if bulk and n0 == 0:
+            return self._build_bulk(sigs, progress=progress)
         n_total = n0 + m
         B = min(_next_pow2(max(batch_size, 64)), _next_pow2(m))
         cap = _next_pow2(max(n_total, capacity))
@@ -229,6 +345,8 @@ class HnswIndex:
             q_p[:b_real] = sigs_u32[start : start + b_real]
             entries = np.full(tb, sent, np.int32)
             e = self._entries_for(n)
+            if len(e) > tb:  # pinned entries can exceed the compiled buffer
+                e = e[np.linspace(0, len(e) - 1, tb).astype(np.int64)]
             entries[: len(e)] = e
 
             d_sigs, cand_ids, cand_d, keep = _insert_search(
@@ -240,96 +358,59 @@ class HnswIndex:
             cand_d = np.array(cand_d)  # writable copy (pad-mates masked below)
             keep = np.asarray(keep)
 
-            # ---- host: vectorized forward-link selection -------------------
-            # invalidate pad-mates (ids beyond the live batch) and self refs
-            off = cand_ids >= n + b_real
-            cand_d[off] = np.inf
-            finite = np.isfinite(cand_d)
-            good = keep & finite
-            # partitioned forward rows:
-            #   near region [0, m_near): nearest candidates by distance
-            #     (pruned ones included — local recall needs dense short
-            #     links),
-            #   far region [m_near, m0): heuristic SURVIVORS beyond the
-            #     near cutoff — the diverse long links that keep dense
-            #     clusters reachable.  A plain nearest-only fill measurably
-            #     disconnects clusters (262k recall collapsed to the entry
-            #     tier's cluster-coverage rate); the reference relies on
-            #     the same heuristic with keeping_pruned(false),
-            #     dnasketch.rs:159-160.
-            rows_ids = np.full((B, m0), sent, dtype=np.int32)
-            rows_d = np.full((B, m0), np.inf, dtype=np.float32)
-            fin_rank = np.cumsum(finite, axis=1) - 1
-            near_take = finite & (fin_rank < m_near)
-            r_i, _ = np.nonzero(near_take)
-            rows_ids[r_i, fin_rank[near_take]] = cand_ids[near_take]
-            rows_d[r_i, fin_rank[near_take]] = cand_d[near_take]
-            m_far = m0 - m_near
-            beyond = finite & (fin_rank >= m_near)
-            # far slots: heuristic survivors beyond the cutoff first (the
-            # long links), then next-nearest pruned candidates to keep the
-            # local graph dense when few survivors exist
-            key = np.where(beyond & good, np.int8(0),
-                           np.where(beyond, np.int8(1), np.int8(2)))
-            o2 = np.argsort(key, axis=1, kind="stable")
-            far_ids = np.take_along_axis(cand_ids, o2, axis=1)[:, :m_far]
-            far_d = np.take_along_axis(cand_d, o2, axis=1)[:, :m_far]
-            far_ok = np.take_along_axis(key < 2, o2, axis=1)[:, :m_far]
-            rows_ids[:, m_near:] = np.where(far_ok, far_ids, sent)
-            rows_d[:, m_near:] = np.where(far_ok, far_d.astype(np.float32), np.inf)
-            # connectivity insurance: the last few far slots are
-            # pseudo-random long links (golden-stride in the node id).  A
-            # candidate pool of the C nearest can sit entirely inside one
-            # dense cluster, leaving it unreachable; degree-4 random links
-            # make the whole graph one component regardless of geometry
-            # (links may point at not-yet-inserted ids — the beam masks
-            # ids >= live n until they exist)
-            rl = min(4, m_far)
-            me_col = (n + np.arange(B, dtype=np.uint64))[:, None]
-            jj = np.arange(1, rl + 1, dtype=np.uint64)[None, :]
-            rnd = ((me_col * np.uint64(0x9E3779B1) + jj * np.uint64(0x85EBCA77))
-                   % np.uint64(n_total)).astype(np.int32)
-            rnd = np.where(rnd == (n + np.arange(B))[:, None],
-                           (rnd + 1) % n_total, rnd)
-            rows_ids[:, m0 - rl:] = rnd
-            rows_d[:, m0 - rl:] = np.inf
-            if b_real < B:
-                rows_ids[b_real:] = sent
-                rows_d[b_real:] = np.inf
+            rows_ids, rows_d = _forward_rows(
+                cand_ids, cand_d, keep, base=n, valid_limit=n + b_real,
+                n_total=n_total, m0=m0, m_near=m_near, sent=sent,
+                b_real=b_real)
+            inc_tgt, inc_ids, inc_d = _group_reverse(
+                rows_ids, rows_d, base=n, b_real=b_real, mmax=mmax, rin=rin,
+                sent=sent)
 
-            # ---- host: reverse-link grouping (sorted triples, capped) ------
-            me = (n + np.arange(B, dtype=np.int32))[:, None]
-            valid = (rows_ids != sent) & (me < n + b_real)
-            # reverse only the closest `max_nb_conn` forward links (layer-0
-            # reverse degree pressure control, matching hnsw_rs's m)
-            valid[:, mmax:] = False
-            tgt = rows_ids[valid]
-            src = np.broadcast_to(me, rows_ids.shape)[valid]
-            dd = rows_d[valid]
-            ub = B * mmax
-            inc_tgt = np.full(ub, sent, np.int32)
-            inc_ids = np.full((ub, rin), sent, np.int32)
-            inc_d = np.full((ub, rin), np.inf, np.float32)
-            if tgt.size:
-                o = np.lexsort((dd, tgt))
-                tgt, src, dd = tgt[o], src[o], dd[o]
-                first = np.empty(len(tgt), bool)
-                first[0] = True
-                np.not_equal(tgt[1:], tgt[:-1], out=first[1:])
-                seg = np.cumsum(first) - 1
-                seg_start = np.flatnonzero(first)
-                rank = np.arange(len(tgt)) - seg_start[seg]
-                sel = rank < rin
-                u = int(seg[-1]) + 1
-                inc_tgt[:u] = tgt[first]
-                inc_ids[seg[sel], rank[sel]] = src[sel]
-                inc_d[seg[sel], rank[sel]] = dd[sel]
+            # reachability guarantee: nearest PRE-BATCH candidate of each
+            # new point gets a forced back-link (see _insert_apply).  Old
+            # ids only — a batch-mate target could close an unreachable
+            # cycle inside a novel cluster.
+            old_ok = (cand_ids < n) & np.isfinite(cand_d)
+            # spread targets over the 16 nearest old candidates by source
+            # id: when a whole novel cluster ties at distance 1.0 to every
+            # old point, identical "nearest" picks would collide on one
+            # row+slot and all but one forced link would be lost
+            cum = np.cumsum(old_ok, axis=1)
+            k_old = cum[:, -1]
+            has_old = k_old > 0
+            brow = np.arange(B)
+            pick = (n + brow) % np.minimum(np.maximum(k_old, 1), 16) + 1
+            fcol = np.argmax(cum == pick[:, None], axis=1)
+            live = has_old & (brow < b_real)
+            f_tgt = np.where(live, cand_ids[brow, fcol], sent).astype(np.int32)
+            f_src = np.where(live, n + brow, sent).astype(np.int32)
+            f_d = np.where(live, cand_d[brow, fcol], np.inf).astype(np.float32)
+
+            # entry pinning: when a point's nearest PRE-EXISTING neighbor
+            # is ~max distance, greedy navigation has no gradient toward
+            # it (all paths tie) — back-links alone cannot make it
+            # findable.  Pin the FIRST member of each such novel cluster
+            # as a permanent exact-swept entry; its batch-mates connect to
+            # it through the dense mate block, so one pin covers the
+            # cluster.  hnsw_rs has the same blind spot (nothing funnels a
+            # search toward an isolated region); the exact entry tier lets
+            # us fix it outright.
+            f_near = np.where(has_old, cand_d[brow, np.argmax(old_ok, 1)],
+                              np.inf)
+            novel = (brow < b_real) & (f_near >= self.PIN_D)
+            mate_lt = ((cand_ids >= n) & (cand_ids < n + brow[:, None])
+                       & (cand_d < self.PIN_D))
+            new_pins = (n + brow)[novel & ~mate_lt.any(axis=1)]
+            if new_pins.size:
+                self._pinned = np.unique(
+                    np.concatenate([self._pinned, new_pins.astype(np.int32)]))
 
             d_nbrs, d_nbrd = _insert_apply(
                 d_nbrs, d_nbrd,
                 jnp.asarray(rows_ids), jnp.asarray(rows_d), jnp.int32(n),
                 jnp.asarray(inc_tgt), jnp.asarray(inc_ids), jnp.asarray(inc_d),
-                m_near=m_near,
+                jnp.asarray(f_tgt), jnp.asarray(f_src), jnp.asarray(f_d),
+                m_near=m_near, rl=min(4, m0 - m_near),
             )
             n += b_real
             if progress is not None:
@@ -345,6 +426,127 @@ class HnswIndex:
         self._refresh_entries()
         self._device = None
         self._device_full = None
+
+    def _build_bulk(self, sigs: np.ndarray, progress=None) -> None:
+        """Bulk graph construction: exact-kNN MXU sweep -> heuristic links.
+
+        The TPU-first answer to parallel graph build: brute-force
+        all-pairs candidate generation is nearly free on the MXU (compact
+        searcher over the signature PREFIX, ops/mxu.py — ~6 KB/row, so it
+        scales to millions of rows on one chip), while pointer-chasing
+        beam inserts pay a device round trip per batch.  Three passes:
+
+          A. exact top-C sweep (prefix metric) for every point,
+          B. select-neighbors heuristic on device (_bulk_keep) + the same
+             partitioned forward-row fill as the incremental path,
+          C. one global host-vectorized reverse merge (incremental merges
+             per batch; here all forward rows exist first, so a single
+             capped merge per target suffices).
+
+        Candidates are exact prefix-metric top-C versus the beam's
+        approximate pool, so link quality is >= the incremental path's;
+        `add` keeps growing the graph incrementally afterwards.
+        Role of hnsw_rs parallel_insert (dnasketch.rs:426-436)."""
+        from ..ops.mxu import MxuSearcher
+
+        n_total = sigs.shape[0]
+        sp = self.search_prefix
+        m0, mmax = self.m0, self.max_nb_conn
+        sent = _next_pow2(n_total)
+        rin = 8  # single global merge -> keep more incoming than per-batch
+        m_near = max(m0 - max(m0 // 4, min(8, m0 // 2)), 4)
+        C = min(max(min(2 * m0, 512), m0), max(n_total - 1, 1))
+        u_pref = np.ascontiguousarray(_as_u32(sigs[:, :sp]))
+
+        # ---- pass A: exact-kNN sweep (searcher resident alone) -------------
+        searcher = MxuSearcher(u_pref, compact=True,
+                               nb_cand=min(3 * C, n_total))
+        knn_ids = np.empty((n_total, C), np.int32)
+        knn_d = np.empty((n_total, C), np.float32)
+        qb = 4096
+        for start in range(0, n_total, qb):
+            q = u_pref[start : start + qb]
+            d, ids = searcher.search(q, knbn=min(C + 1, n_total))
+            me = np.arange(start, start + q.shape[0], dtype=np.int32)[:, None]
+            d = np.where(ids == me, np.inf, d)  # drop self
+            o = np.argsort(d, axis=1, kind="stable")[:, :C]
+            knn_ids[start : start + q.shape[0]] = np.take_along_axis(ids, o, 1)
+            knn_d[start : start + q.shape[0]] = np.take_along_axis(d, o, 1)
+            if progress is not None:
+                progress(min(start + qb, n_total) // 2, n_total)
+        del searcher
+
+        # ---- pass B: heuristic keep + forward rows --------------------------
+        d_sigs_p = jnp.asarray(u_pref)
+        rows_all = np.empty((n_total, m0), np.int32)
+        rowsd_all = np.empty((n_total, m0), np.float32)
+        kb = 1024 if n_total >= 1024 else _next_pow2(n_total, floor=16)
+        for start in range(0, n_total, kb):
+            b_real = min(kb, n_total - start)
+            cid = np.zeros((kb, C), np.int32)
+            cd = np.full((kb, C), np.inf, np.float32)
+            cid[:b_real] = knn_ids[start : start + b_real]
+            cd[:b_real] = knn_d[start : start + b_real]
+            keep = np.asarray(_bulk_keep(d_sigs_p, jnp.asarray(cid),
+                                         jnp.asarray(cd)))
+            rows_ids, rows_d = _forward_rows(
+                cid, cd, keep, base=start, valid_limit=n_total,
+                n_total=n_total, m0=m0, m_near=m_near, sent=sent,
+                b_real=b_real)
+            rows_all[start : start + b_real] = rows_ids[:b_real]
+            rowsd_all[start : start + b_real] = rows_d[:b_real]
+            if progress is not None:
+                progress((n_total + min(start + kb, n_total)) // 2, n_total)
+        del d_sigs_p
+
+        # ---- pass C: global reverse merge (host, vectorized) ----------------
+        tgt = rows_all[:, :mmax].ravel()
+        dd = rowsd_all[:, :mmax].ravel()
+        src = np.repeat(np.arange(n_total, dtype=np.int32), mmax)
+        ok = (tgt != sent) & np.isfinite(dd)
+        tgt, dd, src = tgt[ok], dd[ok], src[ok]
+        if tgt.size:
+            o = np.lexsort((dd, tgt))
+            tgt, dd, src = tgt[o], dd[o], src[o]
+            first = np.empty(len(tgt), bool)
+            first[0] = True
+            np.not_equal(tgt[1:], tgt[:-1], out=first[1:])
+            seg = np.cumsum(first) - 1
+            seg_start = np.flatnonzero(first)
+            rank = np.arange(len(tgt)) - seg_start[seg]
+            sel = rank < rin
+            u = int(seg[-1]) + 1
+            inc_tgt = tgt[first]
+            inc_ids = np.full((u, rin), sent, np.int32)
+            inc_d = np.full((u, rin), np.inf, np.float32)
+            inc_ids[seg[sel], rank[sel]] = src[sel]
+            inc_d[seg[sel], rank[sel]] = dd[sel]
+            for cstart in range(0, u, 65536):  # chunk the [U, rin, m_near] dup mask
+                ct = inc_tgt[cstart : cstart + 65536]
+                ci = inc_ids[cstart : cstart + 65536]
+                cdv = inc_d[cstart : cstart + 65536].copy()
+                ex_ids = rows_all[ct, :m_near]
+                ex_d = rowsd_all[ct, :m_near]
+                dup = (ci[:, :, None] == ex_ids[:, None, :]).any(-1)
+                cdv[dup] = np.inf
+                comb_ids = np.concatenate([ex_ids, ci], axis=1)
+                comb_d = np.concatenate([ex_d, cdv], axis=1)
+                oc = np.argsort(comb_d, axis=1, kind="stable")[:, :m_near]
+                mids = np.take_along_axis(comb_ids, oc, 1)
+                md = np.take_along_axis(comb_d, oc, 1)
+                mids = np.where(np.isfinite(md), mids, sent)
+                rows_all[ct, :m_near] = mids
+                rowsd_all[ct, :m_near] = md
+
+        self._nbrs = np.where(rows_all >= n_total, _PAD, rows_all).astype(np.int32)
+        self._nbr_d = np.where(rows_all >= n_total, np.inf,
+                               rowsd_all).astype(np.float32)
+        self._sigs = sigs
+        self._refresh_entries()
+        self._device = None
+        self._device_full = None
+        if progress is not None:
+            progress(n_total, n_total)
 
     def _ensure_nbr_d(self) -> None:
         """Backfill cached link distances (prefix metric) for graphs loaded
@@ -481,6 +683,7 @@ class HnswIndex:
             nbrs=self._nbrs,
             nbr_d=self._nbr_d,
             entry_ids=self._entry_ids,
+            pinned=self._pinned,
         )
         return {
             "max_nb_conn": self.max_nb_conn,
@@ -506,6 +709,8 @@ class HnswIndex:
         if "nbr_d" in g:
             idx._nbr_d = g["nbr_d"]
         idx._entry_ids = g["entry_ids"]
+        if "pinned" in g:
+            idx._pinned = g["pinned"]
         return idx
 
 
@@ -722,19 +927,84 @@ def _insert_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, C, hops, expand,
     return sigs_p, cand_ids, cand_d, keep
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("m_near",))
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("m_near", "rl"))
 def _insert_apply(nbrs_p, nbr_d, rows_ids, rows_d, n, inc_tgt, inc_ids, inc_d,
-                  *, m_near):
+                  f_tgt, f_src, f_d, *, m_near, rl):
     """Write the batch's forward rows at n and merge reverse links into
     their (unique) targets by cached link distance.
 
     The merge only touches each target row's NEAR region [0, m_near);
     columns [m_near, M0) hold the insert-time heuristic's far/diverse
     survivors and are immutable — distance eviction would otherwise purge
-    exactly the links that keep dense clusters reachable."""
+    exactly the links that keep dense clusters reachable.
+
+    f_tgt/f_src/f_d are the reachability guarantee: each inserted point
+    forces ONE back-link from its nearest pre-batch neighbor into that
+    row's tail (random-link) slots.  Without it, a point far from the
+    whole database (novel cluster in an `add`) loses every distance merge
+    — its reverse links never land and it is unreachable forever.  The
+    tail slot chosen is the one with the largest cached distance, so real
+    links replace the inf-distance random links first (hnsw_rs keeps such
+    links through its diversity heuristic, dnasketch.rs:159-160)."""
     nbrs_p = jax.lax.dynamic_update_slice(nbrs_p, rows_ids, (n, jnp.int32(0)))
     nbr_d = jax.lax.dynamic_update_slice(nbr_d, rows_d, (n, jnp.int32(0)))
+    nbrs_p, nbr_d = _reverse_merge_impl(nbrs_p, nbr_d, inc_tgt, inc_ids,
+                                        inc_d, m_near)
+    if rl > 0:
+        m0 = nbrs_p.shape[1]
+        tail_d = jnp.take(nbr_d, f_tgt, axis=0)[:, m0 - rl:]  # [B, rl]
+        # slot = (src % rl)-th in the distance-descending slot order: real
+        # links replace inf-distance random links first, and same-target
+        # writers land in different slots instead of all colliding on one
+        order = jnp.argsort(-tail_d, axis=1)
+        # bit-mix before the mod: same-target sources differ by multiples
+        # of the target-spread modulus, so a plain src % rl would collide
+        srl = (f_src ^ (f_src >> 4) ^ (f_src >> 9)) % rl
+        slot = jnp.take_along_axis(order, srl[:, None], axis=1)[:, 0]
+        # already-present forced source (re-apply / duplicate): no-op slot
+        tail_i = jnp.take(nbrs_p, f_tgt, axis=0)[:, m0 - rl:]
+        here = tail_i == f_src[:, None]
+        slot = jnp.where(here.any(1), jnp.argmax(here, axis=1), slot) + (m0 - rl)
+        nbrs_p = nbrs_p.at[f_tgt, slot].set(f_src)
+        nbr_d = nbr_d.at[f_tgt, slot].set(f_d)
+    return nbrs_p, nbr_d
 
+
+@jax.jit
+def _bulk_keep(sigs_p, cand_ids, cand_d):
+    """Select-neighbors heuristic over exact-kNN candidate lists (bulk
+    build): keep candidate j iff it is closer to the query than to every
+    already-kept candidate — the same greedy rule the incremental
+    _insert_search applies to its beam pool (and hnsw_rs's heuristic with
+    extend_candidates, dnasketch.rs:159).
+
+    sigs_p [N, sp] u32 prefix matrix; cand_ids [B, C] sorted ascending by
+    cand_d (prefix-metric distances; masked entries = inf).
+    Returns keep [B, C] bool."""
+    sp = sigs_p.shape[1]
+    b, c = cand_ids.shape
+    rows = jnp.take(sigs_p, cand_ids.reshape(-1), axis=0).reshape(b, c, sp)
+
+    def col(j):
+        rj = jax.lax.dynamic_slice_in_dim(rows, j, 1, axis=1)  # [B, 1, sp]
+        eq = (rows == rj).sum(-1).astype(jnp.float32)  # [B, C]
+        return 1.0 - eq / jnp.float32(sp)
+
+    pair_d = jax.lax.map(col, jnp.arange(c))  # [C(j), B, C(i)]
+
+    def step(closest, j):
+        kj = cand_d[:, j] < closest[:, j]
+        closest = jnp.where(kj[:, None], jnp.minimum(closest, pair_d[j]),
+                            closest)
+        return closest, kj
+
+    closest0 = jnp.full((b, c), jnp.inf, jnp.float32)
+    _, keeps = jax.lax.scan(step, closest0, jnp.arange(c))
+    return keeps.T
+
+
+def _reverse_merge_impl(nbrs_p, nbr_d, inc_tgt, inc_ids, inc_d, m_near):
     ex_ids = jnp.take(nbrs_p, inc_tgt, axis=0)[:, :m_near]  # [U, m_near]
     ex_d = jnp.take(nbr_d, inc_tgt, axis=0)[:, :m_near]
     # drop incoming links already present (batch-mate forward duplicates)

@@ -166,7 +166,10 @@ def main():
             if len(marks) % 16 == 0:
                 log(f"insert {done}/{total} ({done / marks[-1][1]:.0f}/s)")
 
-        idx.insert(sigs, batch_size=1024, progress=prog)
+        # default: the bulk MXU-sweep constructor (auto at this N); set
+        # HNSW_BENCH_INCREMENTAL=1 to force the beam-insert path
+        bulk = not os.environ.get("HNSW_BENCH_INCREMENTAL")
+        idx.insert(sigs, batch_size=1024, progress=prog, bulk=bulk)
         t_build = time.perf_counter() - t0
         # steady-state rate excludes the first batch, which pays the two
         # one-time remote jit compiles (minutes in this relay environment;
@@ -249,6 +252,8 @@ def main():
         "n": n, "s": s, "max_nb_conn": m, "ef_construction": efc,
         "build_s": round(t_build, 1), "exact_qps": round(exact_qps, 1),
         "points_per_s": round(n / t_build, 1), "curve": [],
+        "build_path": ("incremental" if os.environ.get("HNSW_BENCH_INCREMENTAL")
+                       else "bulk"),
     }
     try:
         results["points_per_s_steady"] = round(float(steady), 1)

@@ -214,3 +214,44 @@ def test_beam_gather_pallas_equivalence(rng):
                              gather_impl="pallas_interpret", **kw)
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+
+
+def test_hnsw_bulk_build_recall(rng, tmp_path):
+    """Bulk construction (exact MXU kNN sweep -> heuristic links) matches
+    or beats the incremental path's recall, roundtrips, and supports
+    incremental `add` on top."""
+    n, s, k = 3000, 128, 10
+    all_sigs = _sig_cloud(rng, n + 20, s, n_clusters=32)
+    sigs, queries = all_sigs[:n], all_sigs[n:]
+
+    flat = FlatIndex(sketch_size=s, sig_dtype=np.uint32)
+    flat.insert(sigs)
+    true_d, true_ids = flat.search(queries, knbn=k)
+
+    hnsw = HnswIndex(
+        sketch_size=s, sig_dtype=np.uint32, max_nb_conn=24, ef_construction=96,
+        search_prefix=s,
+    )
+    hnsw.insert(sigs, bulk=True)
+    got_d, got_ids = hnsw.search(queries, knbn=k, ef_search=128)
+    recall = np.mean([
+        len(set(true_ids[i]) & set(got_ids[i])) / k for i in range(len(queries))
+    ])
+    tie_aware = np.mean([
+        1.0 - sum(1 for a, b in zip(sorted(got_d[i]), sorted(true_d[i]))
+                  if a > b + 1e-6) / k
+        for i in range(len(queries))
+    ])
+    assert tie_aware >= 0.99, f"bulk tie-aware recall@{k} = {tie_aware:.3f}"
+    assert recall >= 0.85, f"bulk raw recall@{k} = {recall:.3f}"
+
+    # roundtrip + incremental add on top of a bulk-built graph
+    dump_index(hnsw, str(tmp_path))
+    hnsw2 = load_index(str(tmp_path))
+    extra = _sig_cloud(rng, 64, s, n_clusters=4)
+    hnsw2.insert(extra)  # n0 > 0 -> incremental path
+    d3, ids3 = hnsw2.search(extra[:8], knbn=1, ef_search=64)
+    # distance-0 self hit (the cloud may contain identical twins, so the
+    # returned id is any of them — but it must be one of the added rows)
+    np.testing.assert_allclose(d3[:, 0], 0.0, atol=1e-6)
+    assert (ids3[:, 0] >= n).all()
