@@ -336,6 +336,7 @@ class MxuSearcher:
         self.n = n
         nb, spad, m = self._resolve_mode(m, compact)
         self.rerank_factor = rerank_factor
+        self.nb_cand_override = nb_cand
 
         def as_u32(rows):
             if isinstance(rows, np.ndarray):
@@ -421,16 +422,23 @@ class MxuSearcher:
         """Dispatch _search_fused in query chunks sized so the pallas
         rerank's scalar-prefetched candidate operand [Qc, C] int32 fits
         SMEM (1 MB/core; e.g. Q=4096 x C=72 x 4 B = 1.18 MB overflows)."""
-        nb_cand = min(max(self.rerank_factor * knbn, 64), self._rr3.shape[0])
-        if self._approx:
-            # widen the rerank list so approx_max_k's boundary misses stay
-            # clear of the true top-k (rerank DMA is bandwidth-bound and
-            # cheap relative to the 17 ms exact-top_k saving)
-            nb_cand = min(max(nb_cand + knbn * 4, 96), self._rr3.shape[0])
-        if self.compact:
-            # m=2 halves the estimator's sign bits (noise sd grows sqrt(2)x):
-            # double the rerank list so the true top-k stay inside it
-            nb_cand = min(max(2 * nb_cand, 128), self._rr3.shape[0])
+        if self.nb_cand_override:
+            # explicit candidate width (e.g. the bulk graph constructor's
+            # wide-k sweeps, where the default knbn-proportional widening
+            # would blow the rerank kernel's scoped vmem)
+            nb_cand = min(max(self.nb_cand_override, knbn), self._rr3.shape[0])
+        else:
+            nb_cand = min(max(self.rerank_factor * knbn, 64), self._rr3.shape[0])
+            if self._approx:
+                # widen the rerank list so approx_max_k's boundary misses
+                # stay clear of the true top-k (rerank DMA is bandwidth-
+                # bound and cheap relative to the 17 ms exact-top_k saving)
+                nb_cand = min(max(nb_cand + knbn * 4, 96), self._rr3.shape[0])
+            if self.compact:
+                # m=2 halves the estimator's sign bits (noise sd grows
+                # sqrt(2)x): double the rerank list so the true top-k stay
+                # inside it
+                nb_cand = min(max(2 * nb_cand, 128), self._rr3.shape[0])
         qb = q_dev.shape[0]
         # the SMEM allocation lane-pads the [Q, C] i32 operand to C->128k
         cand_row_bytes = ((nb_cand + 127) // 128) * 128 * 4
