@@ -149,6 +149,35 @@ def main() -> None:
     except Exception as e:  # secondary metric must never break the bench
         print(f"[bench] sketch throughput failed: {e}", file=sys.stderr)
 
+    # secondary (stderr only): bulk graph-build rate (exact-kNN MXU sweep
+    # -> heuristic links).  Reference: 318k genomes in 2-3 h on 24 cores
+    # (README.md:134) ~ 30-44 points/s; the bulk constructor measured 754
+    # points/s steady at 262k x 12000 (HNSW_BENCH.json).
+    try:
+        from gsearch_tpu.index.hnsw import HnswIndex
+
+        n_g = 32_768
+        kb, kc = jax.random.split(jax.random.PRNGKey(7))
+        base = jax.random.uniform(kb, (n_g // 64, S), jnp.float32)
+        mask = jax.random.uniform(kc, (n_g, S)) < 0.25
+        alt = jax.random.uniform(kc, (n_g, S), jnp.float32)
+        gsigs = np.asarray(jnp.where(mask, alt,
+                                     jnp.repeat(base, 64, axis=0)))
+        idx = HnswIndex(sketch_size=S, sig_dtype=np.float32, max_nb_conn=64,
+                        ef_construction=256)
+        t0 = time.perf_counter()
+        idx.insert(gsigs, bulk=True)
+        dt = time.perf_counter() - t0
+        print(
+            f"[bench] graph bulk build ({n_g}x{S}): {dt:.1f}s "
+            f"({n_g / dt:.0f} points/s incl. compiles; reference ~30-44/s "
+            f"on 24 cores)",
+            file=sys.stderr,
+        )
+        del idx, gsigs
+    except Exception as e:
+        print(f"[bench] graph build failed: {e}", file=sys.stderr)
+
     # secondary (stderr only): END-TO-END ingest (FASTA files on disk ->
     # signatures): walk + parse + encode + pack + upload + device sketch,
     # with the producer thread overlapping host and device work.

@@ -97,6 +97,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("hnswcore", add_help=False)
     sub.add_parser("bigsig", add_help=False)
     sub.add_parser("genepred", add_help=False)
+    sub.add_parser("hmmsearch", add_help=False)
 
     return ap
 
@@ -119,6 +120,7 @@ def main(argv=None) -> int:
         "hnswcore": "gsearch_tpu.cli.hnswcore",
         "bigsig": "gsearch_tpu.cli.bigsig",
         "genepred": "gsearch_tpu.cli.genepred",
+        "hmmsearch": "gsearch_tpu.cli.hmmsearch",
     }
     if argv and argv[0] in tools:
         import importlib

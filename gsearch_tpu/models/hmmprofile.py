@@ -1,0 +1,285 @@
+"""Profile-HMM search over HMMER3 files — the `hmmsearch` engine.
+
+Capability-equivalent of the reference's hmmsearch_rs companion tool
+(reference: README.md:353-374 — "Search protein sequences against HMM
+profiles", tabular output), which the universal-gene workflow uses to
+extract the 120/122 GTDB marker genes (data/HMM_bacteria, data/HMM_archaea;
+data/README.md:1) that `tohnsw --aa` then indexes (README.md:656-660).
+
+TPU formulation
+---------------
+Plan7 local Viterbi is a 2-D DP (sequence position x profile position).
+The sequence axis is a `lax.scan`; everything inside one step is
+vectorized over [batch, profile-position] on the VPU.  The only
+within-step dependency is the delete chain D[j] = max(M[j-1]+tMD,
+D[j-1]+tDD) — a max-plus prefix recurrence along j, computed as a
+`cummax` after subtracting the cumulative tDD (log of the geometric
+delete-run cost), so no inner loop survives.  Profiles of different
+lengths pad to one [H, Lmax] block and vmap; sequences bucket by length.
+
+Scoring model (documented deviations from HMMER3)
+-------------------------------------------------
+* uni-local Plan7 (one domain per sequence): entry t(B->Mk) =
+  2(L-k+1)/(L(L+1)), exit t(Mk->E) = 1, insert log-odds 0 — HMMER3's
+  local configuration.  HMMER's default is MULTIHIT local; for single-
+  domain hits the difference is a ~1-2 bit constant.
+* flanking N/C residues score 0 (background) with no loop penalty and no
+  null1 length correction — these nearly cancel; net effect is a few
+  bits on long targets.
+* E-values use the profile's calibrated `STATS LOCAL VITERBI tau lambda`
+  Gumbel right tail: P = exp(-lambda (bits - tau)), E = P * n_targets.
+Scores therefore track HMMER within a few bits — enough to rank hits and
+apply the GA gathering cutoffs stored in the profiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: HMMER3 amino-acid column order
+HMM_ALPHABET = "ACDEFGHIKLMNPQRSTVWY"
+_AA_INDEX = {c: i for i, c in enumerate(HMM_ALPHABET)}
+
+#: HMMER default background frequencies (p7_bg, Swiss-Prot derived)
+BG_FREQ = np.array([
+    0.0787945, 0.0151600, 0.0535222, 0.0668298, 0.0397062,
+    0.0695071, 0.0229198, 0.0590092, 0.0594422, 0.0963728,
+    0.0237718, 0.0414386, 0.0482904, 0.0395639, 0.0540978,
+    0.0683364, 0.0540687, 0.0673417, 0.0114135, 0.0304133,
+], dtype=np.float64)
+
+
+@dataclass
+class ProfileHMM:
+    """One parsed HMMER3/f profile (natural-log space, node 0 = begin)."""
+
+    name: str
+    acc: str
+    length: int
+    match_logodds: np.ndarray  # [L+1, 20] f32, row 0 = -inf
+    # transitions FROM node k (ln p): mm mi md im ii dm dd
+    trans: np.ndarray          # [L+1, 7] f32
+    ga: float = math.nan       # GA gathering cutoff (bits), nan if absent
+    stats_vit: tuple = ()      # (tau, lambda) from STATS LOCAL VITERBI
+    desc: str = ""
+
+
+def parse_hmmer3(path: str) -> List[ProfileHMM]:
+    """Parse an HMMER3/f text file (one or more profiles)."""
+    out = []
+    with open(path, "r", errors="replace") as f:
+        lines = iter(f)
+        while True:
+            prof = _parse_one(lines)
+            if prof is None:
+                return out
+            out.append(prof)
+
+
+def _floats(tokens):
+    return [math.inf if t == "*" else float(t) for t in tokens]
+
+
+def _parse_one(lines):
+    name = acc = desc = ""
+    ga = math.nan
+    stats_vit = ()
+    length = 0
+    header_seen = False
+    for ln in lines:
+        t = ln.split()
+        if not t:
+            continue
+        if t[0].startswith("HMMER3"):
+            header_seen = True
+        elif t[0] == "NAME":
+            name = t[1]
+        elif t[0] == "ACC":
+            acc = t[1]
+        elif t[0] == "DESC":
+            desc = ln[5:].strip()
+        elif t[0] == "LENG":
+            length = int(t[1])
+        elif t[0] == "GA":
+            ga = float(t[1])
+        elif t[0] == "STATS" and len(t) >= 5 and t[2] == "VITERBI":
+            stats_vit = (float(t[3]), float(t[4]))
+        elif t[0] == "HMM":
+            break
+    else:
+        return None
+    if not header_seen or length == 0:
+        return None
+    next(lines)  # the m->m m->i ... transition header line
+
+    L = length
+    mat = np.full((L + 1, 20), np.inf, np.float64)  # -ln p
+    trans = np.full((L + 1, 7), np.inf, np.float64)
+    k = 0  # node about to be read (0 = begin)
+    for ln in lines:
+        t = ln.split()
+        if not t:
+            continue
+        if t[0] == "//":
+            break
+        if t[0] == "COMPO":
+            continue
+        if k == 0:
+            # node 0: insert-emission line (ignored: local config scores
+            # inserts at 0) then its transition line
+            if len(t) == 20:
+                continue
+            trans[0] = _floats(t[:7])
+            k = 1
+            continue
+        # node k: match line (leads with the node number), insert line
+        # (bare 20 floats), transition line (7 floats)
+        if t[0] == str(k) and len(t) >= 21:
+            mat[k] = _floats(t[1:21])
+        elif len(t) == 20:
+            continue
+        elif len(t) == 7:
+            trans[k] = _floats(t)
+            k += 1
+    # -ln p -> log-odds vs background
+    lo = np.where(np.isfinite(mat), -mat - np.log(BG_FREQ)[None, :], -np.inf)
+    lo[0] = -np.inf
+    return ProfileHMM(
+        name=name, acc=acc, length=L,
+        match_logodds=lo.astype(np.float32),
+        trans=(-trans).astype(np.float32),  # ln p (inf -> -inf)
+        ga=ga, stats_vit=stats_vit, desc=desc,
+    )
+
+
+# ---------------------------------------------------------------------------
+# batched Viterbi
+# ---------------------------------------------------------------------------
+
+
+def _pack_profiles(profiles: Sequence[ProfileHMM]):
+    """Pad H profiles to one [H, Lmax+1, ...] block (masked past each L)."""
+    lmax = max(p.length for p in profiles)
+    H = len(profiles)
+    msc = np.full((H, lmax + 1, 20), -np.inf, np.float32)
+    tr = np.full((H, lmax + 1, 7), -np.inf, np.float32)
+    tbm = np.full((H, lmax + 1), -np.inf, np.float32)
+    for h, p in enumerate(profiles):
+        L = p.length
+        msc[h, : L + 1] = p.match_logodds
+        tr[h, : L + 1] = p.trans
+        k = np.arange(1, L + 1, dtype=np.float64)
+        tbm[h, 1 : L + 1] = np.log(2.0 * (L - k + 1) / (L * (L + 1.0)))
+    return jnp.asarray(msc), jnp.asarray(tr), jnp.asarray(tbm)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _viterbi_block(msc, tr, tbm, seqs, lens):
+    """Uni-local Plan7 Viterbi.
+
+    msc [H, L+1, 20], tr [H, L+1, 7], tbm [H, L+1], seqs [B, T] int32
+    (aa index, any value for pads — masked by lens), lens [B].
+    Returns best log-odds score (nats) [H, B]."""
+    Hn, Lp1, _ = msc.shape
+    tMM, tMI, tMD = tr[..., 0], tr[..., 1], tr[..., 2]
+    tIM, tII = tr[..., 3], tr[..., 4]
+    tDM, tDD = tr[..., 5], tr[..., 6]
+    # cumulative delete-chain cost c[j] = sum_{l<=j} tDD[l]
+    cdd = jnp.cumsum(jnp.where(jnp.isfinite(tDD), tDD, 0.0), axis=1)
+
+    def shift1(a):  # a[..., j] -> a[..., j-1] with -inf at j=0
+        return jnp.pad(a[..., :-1], [(0, 0)] * (a.ndim - 1) + [(1, 0)],
+                       constant_values=-jnp.inf)
+
+    tMMs, tIMs, tDMs = shift1(tMM), shift1(tIM), shift1(tDM)
+    neg = jnp.float32(-1e30)
+    B = seqs.shape[0]
+
+    def step(carry, xi):
+        M, I, D, bestE = carry  # [H, B, L+1] x3, [H, B]
+        x, alive = xi           # [B] int32, [B] bool
+        em = msc[:, :, :].transpose(0, 2, 1)  # [H, 20, L+1]
+        em_x = em[:, x, :]                    # [H, B, L+1]
+        cand = jnp.maximum(
+            jnp.maximum(shift1(M) + tMMs[:, None, :],
+                        shift1(I) + tIMs[:, None, :]),
+            jnp.maximum(shift1(D) + tDMs[:, None, :], tbm[:, None, :]),
+        )
+        Mn = em_x + cand
+        Mn = jnp.maximum(Mn, neg)  # keep -inf out of the cummax chain
+        # delete chain: D[j] = max_{k<=j-1}(M[k] + tMD[k] - c[k]) + c[j-1]
+        g = Mn + (tMD - cdd)[:, None, :]
+        Dn = shift1(jax.lax.cummax(g, axis=2)) + shift1(cdd)[:, None, :]
+        In = jnp.maximum(M + tMI[:, None, :], I + tII[:, None, :])
+        e_i = jnp.max(Mn, axis=2)  # exit t(Mk->E) = 1 (local)
+        bestE = jnp.where(alive[None, :], jnp.maximum(bestE, e_i), bestE)
+        keep = alive[None, :, None]
+        return (jnp.where(keep, Mn, M), jnp.where(keep, In, I),
+                jnp.where(keep, Dn, D), bestE), None
+
+    M0 = jnp.full((Hn, B, Lp1), neg, jnp.float32)
+    alive = (jnp.arange(seqs.shape[1])[None, :] < lens[:, None])
+    (_, _, _, bestE), _ = jax.lax.scan(
+        step, (M0, M0, M0, jnp.full((Hn, B), neg, jnp.float32)),
+        (seqs.T, alive.T))
+    return bestE
+
+
+class HmmSearcher:
+    """Batched search of protein sequences against a set of profiles."""
+
+    def __init__(self, profiles: Sequence[ProfileHMM]):
+        if not profiles:
+            raise ValueError("no profiles given")
+        self.profiles = list(profiles)
+        self._msc, self._tr, self._tbm = _pack_profiles(self.profiles)
+
+    @staticmethod
+    def encode(seq: str) -> np.ndarray:
+        """aa string -> int32 indices (unknown residues -> 0 scored as A;
+        HMMER treats ambiguity codes by marginalization — a 1-residue
+        approximation here)."""
+        return np.array([_AA_INDEX.get(c, 0) for c in seq.upper()], np.int32)
+
+    def score(self, seqs: Sequence[np.ndarray]) -> np.ndarray:
+        """Returns bit scores [n_profiles, n_seqs]."""
+        B = len(seqs)
+        lens = np.array([len(s) for s in seqs], np.int32)
+        out = np.empty((len(self.profiles), B), np.float32)
+        # bucket by length (power-of-two pads: few compiled shapes)
+        order = np.argsort(lens, kind="stable")
+        pos = 0
+        while pos < B:
+            t = max(int(lens[order[pos]]), 16)
+            tpad = 1 << (t - 1).bit_length()
+            take = [i for i in order[pos:] if lens[i] <= tpad][:64]
+            pos += len(take)
+            bb = len(take)
+            bpad = 1 << max((bb - 1).bit_length(), 3)
+            block = np.zeros((bpad, tpad), np.int32)
+            for r, i in enumerate(take):
+                block[r, : lens[i]] = seqs[i]
+            ln = np.zeros(bpad, np.int32)
+            ln[:bb] = lens[np.asarray(take)]
+            nats = np.asarray(_viterbi_block(
+                self._msc, self._tr, self._tbm,
+                jnp.asarray(block), jnp.asarray(ln)))
+            out[:, np.asarray(take)] = nats[:, :bb]
+        return out / np.float32(math.log(2.0))  # nats -> bits
+
+    def evalues(self, bits: np.ndarray, n_targets: int) -> np.ndarray:
+        """Gumbel-tail E-values from each profile's STATS LOCAL VITERBI."""
+        ev = np.full_like(bits, np.nan, dtype=np.float64)
+        for h, p in enumerate(self.profiles):
+            if p.stats_vit:
+                tau, lam = p.stats_vit
+                ev[h] = n_targets * np.exp(
+                    -lam * (bits[h].astype(np.float64) - tau))
+        return ev

@@ -1,0 +1,106 @@
+"""Profile-HMM search (hmmsearch_rs role, reference README.md:353-374)."""
+
+import math
+import textwrap
+
+import numpy as np
+import pytest
+
+from gsearch_tpu.models.hmmprofile import (
+    BG_FREQ, HMM_ALPHABET, HmmSearcher, parse_hmmer3)
+
+
+def _write_motif_hmm(path, motif: str, name="TestMotif", ga=10.0):
+    """A HMMER3/f profile strongly matching `motif` (0.9 on the motif
+    residue, background elsewhere), realistic transitions."""
+    L = len(motif)
+    lines = [
+        "HMMER3/f [3.3 | Nov 2019]",
+        f"NAME  {name}",
+        "ACC   TM00001.1",
+        "DESC  synthetic test motif",
+        f"LENG  {L}",
+        "ALPH  amino",
+        f"GA    {ga:.2f} {ga:.2f}",
+        "STATS LOCAL VITERBI  -9.0000  0.70000",
+        "HMM          " + "        ".join(HMM_ALPHABET),
+        "            m->m     m->i     m->d     i->m     i->i     d->m     d->d",
+    ]
+    bg = [f"{-math.log(f):.5f}" for f in BG_FREQ]
+    # node 0: insert emissions + transitions
+    lines.append("          " + "  ".join(bg))
+    t0 = [0.02, 4.0, 4.0, 0.02, 4.0, 0.02, 4.0]
+    lines.append("          " + "  ".join(f"{v:.5f}" for v in t0))
+    for k, aa in enumerate(motif, start=1):
+        em = []
+        hit = HMM_ALPHABET.index(aa)
+        for i, f in enumerate(BG_FREQ):
+            p = 0.9 if i == hit else 0.1 * f / (1.0 - BG_FREQ[hit])
+            em.append(f"{-math.log(p):.5f}")
+        lines.append(f"  {k}   " + "  ".join(em) + f"  {k} - - - -")
+        lines.append("          " + "  ".join(bg))  # insert emissions
+        lines.append("          " + "  ".join(f"{v:.5f}" for v in t0))
+    lines.append("//")
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_parse_and_score_planted_motif(tmp_path, rng):
+    motif = "WCHWMYWCHW"  # rare residues: big log-odds when matched
+    f = tmp_path / "motif.hmm"
+    _write_motif_hmm(f, motif)
+    profs = parse_hmmer3(str(f))
+    assert len(profs) == 1 and profs[0].length == len(motif)
+    assert profs[0].name == "TestMotif"
+    assert math.isclose(profs[0].ga, 10.0)
+
+    aas = np.array(list(HMM_ALPHABET))
+    background = "".join(rng.choice(aas, 200))
+    planted = background[:90] + motif + background[90:]
+    decoys = ["".join(rng.choice(aas, 200)) for _ in range(6)]
+
+    searcher = HmmSearcher(profs)
+    seqs = [searcher.encode(s) for s in [planted, *decoys]]
+    bits = searcher.score(seqs)
+    assert bits.shape == (1, 7)
+    # the planted motif scores far above every decoy and above GA
+    assert bits[0, 0] > profs[0].ga
+    assert bits[0, 0] > bits[0, 1:].max() + 10
+    ev = searcher.evalues(bits, n_targets=7)
+    assert ev[0, 0] < 1e-3
+
+
+def test_multi_profile_batch(tmp_path, rng):
+    m1, m2 = "WWCHWW", "YMYHMY"
+    f1, f2 = tmp_path / "a.hmm", tmp_path / "b.hmm"
+    _write_motif_hmm(f1, m1, name="A")
+    _write_motif_hmm(f2, m2, name="B")
+    profs = parse_hmmer3(str(f1)) + parse_hmmer3(str(f2))
+    searcher = HmmSearcher(profs)
+
+    aas = np.array(list(HMM_ALPHABET))
+    s1 = "".join(rng.choice(aas, 50)) + m1 + "".join(rng.choice(aas, 30))
+    s2 = "".join(rng.choice(aas, 80)) + m2
+    bits = searcher.score([searcher.encode(s) for s in (s1, s2)])
+    # each sequence hits its own profile hardest
+    assert bits[0, 0] > bits[0, 1] + 5
+    assert bits[1, 1] > bits[1, 0] + 5
+
+
+def test_cli_tsv_output(tmp_path, rng):
+    from gsearch_tpu.cli.hmmsearch import run_hmmsearch
+
+    motif = "WCHWMYWCHW"
+    hmmf = tmp_path / "m.hmm"
+    _write_motif_hmm(hmmf, motif)
+    aas = np.array(list(HMM_ALPHABET))
+    faa = tmp_path / "p.faa"
+    rec1 = "".join(rng.choice(aas, 60)) + motif
+    rec2 = "".join(rng.choice(aas, 120))
+    faa.write_text(f">hit_protein\n{rec1}\n>decoy\n{rec2}\n")
+    out = tmp_path / "o.tsv"
+    assert run_hmmsearch(str(faa), str(hmmf), str(out), cut_ga=True) == 0
+    body = out.read_text().strip().splitlines()
+    assert body[0].startswith("# seq_name")
+    rows = [l.split("\t") for l in body[1:]]
+    assert [r[0] for r in rows] == ["hit_protein"]  # decoy filtered by GA
+    assert rows[0][1] == "TestMotif" and rows[0][5] == "1"
