@@ -104,3 +104,85 @@ def test_cli_tsv_output(tmp_path, rng):
     rows = [l.split("\t") for l in body[1:]]
     assert [r[0] for r in rows] == ["hit_protein"]  # decoy filtered by GA
     assert rows[0][1] == "TestMotif" and rows[0][5] == "1"
+
+
+def test_universal_gene_level_chain(tmp_path, rng):
+    """The reference's third classification level end-to-end
+    (README.md:656-660): predict proteomes (FragGeneScan role), extract
+    the shared marker gene with hmmsearch --cut_ga against a profile,
+    build an AA database over ONLY the markers, and request a diverged
+    query — it must resolve to its source genome."""
+    from gsearch_tpu.cli.hmmsearch import run_hmmsearch
+    from gsearch_tpu.cli.main import main
+    from gsearch_tpu.models.genepred import predict_genes
+    from tests.test_genepred import (_biased_gene, _biased_params,
+                                     _random_at_rich)
+
+    params = _biased_params()
+    from gsearch_tpu.models.genepred import _CODON_AA
+
+    favored = [c for c, aa in _CODON_AA.items()
+               if aa not in "*" and c[2] in "CG"]
+
+    def codon_mutate(gene: bytes, n_mut: int, r) -> bytes:
+        """Mutate interior codons to other favored (never-stop) codons."""
+        codons = [gene[i : i + 3].decode() for i in range(0, len(gene), 3)]
+        for p in r.choice(np.arange(2, len(codons) - 2), n_mut, replace=False):
+            codons[p] = str(r.choice(favored))
+        return "".join(codons).encode()
+
+    marker = _biased_gene(rng, 140)  # the shared "universal gene"
+
+    def proteome(seq: bytes) -> bytes:
+        genes = predict_genes(seq, params)
+        assert genes
+        return b"".join(b">g%d\n%s\n" % (i, g.aa.encode())
+                        for i, g in enumerate(genes))
+
+    # motif HMM: 30 residues from the middle of the marker's protein
+    probe = predict_genes(
+        _random_at_rich(rng, 220) + marker + _random_at_rich(rng, 220),
+        params)
+    marker_aa = max(probe, key=lambda g: len(g.aa)).aa
+    motif = marker_aa[40:70]
+    hmmf = tmp_path / "marker.hmm"
+    _write_motif_hmm(hmmf, motif, name="UniMarker", ga=30.0)
+
+    # four genomes: per-genome marker VARIANT (homologous, distinct) plus a
+    # private random gene
+    db_dir, q_dir = tmp_path / "faa", tmp_path / "q"
+    db_dir.mkdir(), q_dir.mkdir()
+    variants = [codon_mutate(marker, 10, rng) for _ in range(4)]
+
+    def write_marker_faa(out_path, genome: bytes):
+        full = tmp_path / (out_path.name + ".full")
+        full.write_bytes(proteome(genome))
+        tsv = tmp_path / (out_path.name + ".tsv")
+        assert run_hmmsearch(str(full), str(hmmf), str(tsv), cut_ga=True) == 0
+        hits = {l.split("\t")[0] for l in tsv.read_text().splitlines()[1:]}
+        assert hits, "hmmsearch found no marker in a genome that has one"
+        from gsearch_tpu.io.fasta import parse_fasta
+        kept = [r for r in parse_fasta(str(full)) if r.fasta_id in hits]
+        out_path.write_bytes(b"".join(
+            b">%s\n%s\n" % (r.fasta_id.encode(), r.seq) for r in kept))
+
+    for i, v in enumerate(variants):
+        genome = (_random_at_rich(rng, 260) + v + _random_at_rich(rng, 260)
+                  + _biased_gene(rng, 110) + _random_at_rich(rng, 260))
+        write_marker_faa(db_dir / f"genome{i}.faa", genome)
+
+    # query: genome2's variant with 2 extra codon mutations
+    qv = codon_mutate(variants[2], 2, rng)
+    write_marker_faa(q_dir / "query.faa",
+                     _random_at_rich(rng, 260) + qv + _random_at_rich(rng, 260))
+
+    out_db = str(tmp_path / "unidb")
+    rc = main(["tohnsw", "-d", str(db_dir), "-k", "5", "-s", "512", "-n", "4",
+               "--ef", "64", "--algo", "prob", "--aa", "--block", "-o", out_db])
+    assert rc == 0
+    rc = main(["request", "-b", out_db, "-n", "2", "-r", str(q_dir),
+               "-o", str(tmp_path)])
+    assert rc == 0
+    text = (tmp_path / "gsearch.neighbors.txt").read_text()
+    q_lines = [l for l in text.splitlines() if l.startswith("query_id:")]
+    assert q_lines and "genome2.faa" in q_lines[0], q_lines[:1]
