@@ -219,6 +219,7 @@ class HnswIndex:
         self._pinned = np.empty((0,), dtype=np.int32)
         self._device = None       # (sigs_p, nbrs_p, entries) for search
         self._device_full = None  # [nb+1, S] full sigs for device rerank
+        self._device_packed = None  # (w, [nb+1, 8, w/16]) 16-bit-hash rerank
 
     # ------------------------------------------------------------------ basics
 
@@ -426,6 +427,7 @@ class HnswIndex:
         self._refresh_entries()
         self._device = None
         self._device_full = None
+        self._device_packed = None
 
     def _build_bulk(self, sigs: np.ndarray, progress=None) -> None:
         """Bulk graph construction: exact-kNN MXU sweep -> heuristic links.
@@ -545,6 +547,7 @@ class HnswIndex:
         self._refresh_entries()
         self._device = None
         self._device_full = None
+        self._device_packed = None
         if progress is not None:
             progress(n_total, n_total)
 
@@ -584,6 +587,36 @@ class HnswIndex:
             entries[:t] = self._entry_ids
             self._device = (jnp.asarray(sigs_p), jnp.asarray(nbrs_p), jnp.asarray(entries))
         return self._device
+
+    def _device_packed_sigs(self, w: int):
+        """16-bit-hash rerank representation [nb+1, 8, w/16] u32 over the
+        first `w` slots (half the bytes of the full matrix per slot, and
+        w <= S samples the slots when even that is too big).  Built in row
+        chunks into a donated buffer — a concat would double peak HBM."""
+        if self._device_packed is not None and self._device_packed[0] == w:
+            return self._device_packed[1]
+        from ..ops.mxu import _pack_hash16
+
+        n = self.nb_points
+        nb = _next_pow2(n)
+        wq = min(w, self.sketch_size)
+        buf = jnp.zeros((nb + 1, 8, w // 16), jnp.uint32)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def write(buf, rows_u32, start):
+            p3 = _pack_hash16(rows_u32, spad=w, pad_val=0)
+            return jax.lax.dynamic_update_slice(
+                buf, p3, (start, jnp.int32(0), jnp.int32(0)))
+
+        src = _as_u32(self._sigs[:, :wq])
+        step = min(8192, nb)  # nb is a power of two: uniform chunks, one jit
+        for start in range(0, n, step):
+            rows = np.zeros((step, wq), np.uint32)
+            live = min(step, n - start)
+            rows[:live] = src[start : start + live]
+            buf = write(buf, jnp.asarray(rows), jnp.int32(start))
+        self._device_packed = (w, buf)
+        return buf
 
     def _device_full_sigs(self):
         """Full signatures on device, PRE-SHAPED [nb+1, 8, Sp/8] for the
@@ -644,7 +677,8 @@ class HnswIndex:
             return np.asarray(dp)[:nq], np.asarray(ids)[:nq]
 
         full_bytes = (_next_pow2(n) + 1) * _round_up(self.sketch_size, 1024) * 4
-        if full_bytes <= _RERANK_DEVICE_BYTES:
+        if (full_bytes <= _RERANK_DEVICE_BYTES
+                and not os.environ.get("GSEARCH_TPU_FORCE_PACKED_RERANK")):
             spad = _round_up(self.sketch_size, 1024)
             q_full = np.ones((qb, spad), np.uint32)
             q_full[:nq, : self.sketch_size] = _as_u32(queries)
@@ -654,6 +688,31 @@ class HnswIndex:
                 full, jnp.asarray(q_full), ids, jnp.int32(n),
                 knbn=knbn, s_true=self.sketch_size,
                 use_pallas=jax.default_backend() == "tpu",
+            )
+            return np.asarray(d)[:nq], np.asarray(ids2)[:nq]
+
+        # packed tier: the full matrix exceeds HBM, but a 16-bit-hash
+        # representation over the first w slots (half the bytes per slot,
+        # subsampled when needed) may fit — device rerank at hash
+        # granularity instead of the host gather (e.g. 524k x 12000:
+        # w=8192 is 8.6 GB; distances gain sampling noise ~0.5% and
+        # collision bias 2^-16/slot, both << typical neighbor gaps)
+        from ..ops.mxu import _pack_hash16
+
+        w_budget = int(0.7 * _RERANK_DEVICE_BYTES) // (2 * (_next_pow2(n) + 1))
+        w = min(w_budget // 2048 * 2048, _round_up(self.sketch_size, 2048))
+        if w >= 2048 and w > sp:
+            wq = min(w, self.sketch_size)
+            packed = self._device_packed_sigs(w)
+            q_pk = np.asarray(jnp.asarray(_pack_hash16(
+                jnp.asarray(_as_u32(np.ascontiguousarray(queries[:, :wq]))),
+                spad=w, pad_val=1)).reshape(nq, w // 2))
+            q_buf = np.ones((qb, w // 2), np.uint32)
+            q_buf[:nq] = q_pk
+            d, ids2 = _rerank_device(
+                packed, jnp.asarray(q_buf), ids, jnp.int32(n),
+                knbn=knbn, s_true=wq,
+                use_pallas=jax.default_backend() == "tpu", halves=True,
             )
             return np.asarray(d)[:nq], np.asarray(ids2)[:nq]
 
@@ -1036,9 +1095,12 @@ def _graph_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, r, hops, expand,
     return beam_d[:, :r], beam_ids[:, :r]
 
 
-@functools.partial(jax.jit, static_argnames=("knbn", "s_true", "use_pallas"))
-def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true, use_pallas):
-    """Full-signature rerank of the [Q, R] beam candidates.
+@functools.partial(jax.jit,
+                   static_argnames=("knbn", "s_true", "use_pallas", "halves"))
+def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true, use_pallas,
+                   halves=False):
+    """Full-signature (or packed-hash, halves=True) rerank of the [Q, R]
+    beam candidates.
 
     On TPU this uses the pallas manual-DMA gather kernel, NOT jnp.take:
     XLA's gather on the resident [N, S] matrix materializes a layout-
@@ -1049,11 +1111,17 @@ def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true, use_pallas):
     if use_pallas:
         from ..ops.distance import gather_hamming_pallas
 
-        d = gather_hamming_pallas(sigs_full, q_full, ids, s_true=s_true)
+        d = gather_hamming_pallas(sigs_full, q_full, ids, s_true=s_true,
+                                  halves=halves)
     else:
         flat = sigs_full.reshape(sigs_full.shape[0], -1)  # CPU: copies are fine
         rows = jnp.take(flat, ids, axis=0)  # [Q, R, Sp]
-        eq = (rows == q_full[:, None, :]).sum(-1).astype(jnp.float32)
+        if halves:
+            x = rows ^ q_full[:, None, :]
+            eq = (((x & jnp.uint32(0xFFFF)) == 0).sum(-1)
+                  + ((x >> jnp.uint32(16)) == 0).sum(-1)).astype(jnp.float32)
+        else:
+            eq = (rows == q_full[:, None, :]).sum(-1).astype(jnp.float32)
         d = (jnp.float32(s_true) - eq) / jnp.float32(s_true)
     d = jnp.where(ids < n, d, jnp.inf)
     neg, sel = jax.lax.top_k(-d, knbn)

@@ -255,3 +255,28 @@ def test_hnsw_bulk_build_recall(rng, tmp_path):
     # returned id is any of them — but it must be one of the added rows)
     np.testing.assert_allclose(d3[:, 0], 0.0, atol=1e-6)
     assert (ids3[:, 0] >= n).all()
+
+
+def test_packed_rerank_matches_exact(rng, monkeypatch):
+    """The 16-bit packed-hash rerank tier (used when the full matrix
+    exceeds HBM) returns the exact tier's neighbors up to hash-collision
+    noise (2^-16 per slot)."""
+    n, s, k = 3000, 2048, 10
+    sigs = _sig_cloud(rng, n + 16, s, n_clusters=24)
+    db, queries = sigs[:n], sigs[n:]
+    hnsw = HnswIndex(sketch_size=s, sig_dtype=np.uint32, max_nb_conn=16,
+                     ef_construction=64, search_prefix=1024)
+    hnsw.insert(db, bulk=False)
+
+    d_exact, ids_exact = hnsw.search(queries, knbn=k, ef_search=96)
+    monkeypatch.setenv("GSEARCH_TPU_FORCE_PACKED_RERANK", "1")
+    d_packed, ids_packed = hnsw.search(queries, knbn=k, ef_search=96)
+
+    assert hnsw._device_packed is not None  # the tier actually ran
+    # distances agree to collision noise; neighbor SETS agree wherever the
+    # distance gap exceeds it
+    np.testing.assert_allclose(np.sort(d_packed, 1), np.sort(d_exact, 1),
+                               atol=4.0 / s)
+    same = np.mean([len(set(ids_packed[i]) & set(ids_exact[i])) / k
+                    for i in range(len(queries))])
+    assert same >= 0.95, f"packed/exact neighbor overlap {same:.3f}"
