@@ -137,10 +137,18 @@ def main():
     log(f"backend={jax.default_backend()} N={n} S={s} m={m} efc={efc} efs={efs}")
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    if os.environ.get("HNSW_BENCH_HOST_GEN"):
+    scache = os.environ.get("HNSW_BENCH_SIG_CACHE", "")
+    if scache and os.path.exists(scache):
+        g = np.load(scache)
+        sigs, centers = g["sigs"], g["centers"]
+        log(f"reused cached signatures from {scache}")
+    elif os.environ.get("HNSW_BENCH_HOST_GEN"):
         sigs, centers = make_clustered(rng, n, s, n_centers=max(n // 128, 8))
     else:
         sigs, centers = make_clustered_device(n, s, n_centers=max(n // 128, 8))
+    if scache and not os.path.exists(scache):
+        np.savez(scache, sigs=sigs, centers=centers)
+        log(f"cached signatures to {scache}")
     # queries: fresh mutants of random centers (same generative process)
     qc = rng.integers(0, centers.shape[0], nq)
     queries = centers[qc].copy()
