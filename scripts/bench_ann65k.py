@@ -9,6 +9,11 @@ negative-sampling embedding -> quality estimate.
 Usage: python scripts/bench_ann65k.py [N] [S]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import sys

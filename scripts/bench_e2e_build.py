@@ -11,6 +11,11 @@ Usage: python scripts/bench_e2e_build.py [n_files] [file_mb] [algo]
 Writes E2E_BUILD.json.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import shutil

@@ -16,6 +16,11 @@ HNSW_BENCH.json and prints progress to stderr.  HNSW_BENCH_CACHE=<file>
 caches the built graph and the exact oracle across runs.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 import json
 import os
@@ -338,9 +343,10 @@ def main():
                 "tier": tier, "ef": ef, "recall10": round(rec, 4),
                 "tie_aware": round(ta, 4), "qps": round(qps, 1)})
 
-    with open("HNSW_BENCH.json", "w") as f:
+    out = os.environ.get("HNSW_BENCH_OUT", "HNSW_BENCH.json")
+    with open(out, "w") as f:
         json.dump(results, f, indent=1)
-    log("wrote HNSW_BENCH.json")
+    log(f"wrote {out}")
     print(json.dumps(results))
 
 

@@ -10,6 +10,11 @@ mixed-size corpus, closing VERDICT round-1 item 4.
 Usage: python scripts/quality_ladder.py [k] [s]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import sys

@@ -13,6 +13,11 @@ vendored).  Checks, per profile set:
 Usage: python scripts/validate_hmmsearch.py [hmm_dir] [n_profiles]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import glob
 import os
 import sys
