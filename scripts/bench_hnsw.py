@@ -130,7 +130,7 @@ def main():
            if len(sys.argv) > 5 else [64, 256, 1024])
     mults = ([float(x) for x in sys.argv[6].split(",")]
              if len(sys.argv) > 6 else [1.0])
-    nq, k = 256, 10
+    nq, k = int(os.environ.get("HNSW_BENCH_NQ", "256")), 10
 
     from gsearch_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
@@ -271,7 +271,7 @@ def main():
             best_i = np.take_along_axis(ci, sel, axis=1)
         return best_d, best_i
 
-    ocache = cache + ".oracle.npz" if cache else ""
+    ocache = (f"{cache}.oracle{'' if nq == 256 else nq}.npz") if cache else ""
     if ocache and os.path.exists(ocache):
         og = np.load(ocache)
         oracle_d, oracle_ids = og["d"], og["ids"]
