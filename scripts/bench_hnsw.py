@@ -89,7 +89,10 @@ def make_clustered_device(n, s, n_centers, lo=0.02, hi=0.45, seed=0):
     centers_h = np.asarray(centers)
 
     @functools.partial(jax.jit, static_argnames=("rows",))
-    def member_chunk(key, c0, *, rows):
+    def member_chunk(centers, key, c0, *, rows):
+        # centers is an ARGUMENT, not a closure capture: captured device
+        # arrays embed as HLO constants and blow the relay's compile-
+        # request size limit at 1M-point scale (8192 x 12000 f32 = 393 MB)
         kf, km, kv = jax.random.split(key, 3)
         nc = rows // per
         base = jax.lax.dynamic_slice_in_dim(centers, c0, nc, axis=0)
@@ -109,7 +112,7 @@ def make_clustered_device(n, s, n_centers, lo=0.02, hi=0.45, seed=0):
         rows = nc * per
         # fixed `rows` per bucket keeps one compiled program; the tail
         # cluster block just recompiles once
-        chunk = member_chunk(keys[c // cpc], c, rows=rows)
+        chunk = member_chunk(centers, keys[c // cpc], c, rows=rows)
         sigs[c * per:(c + nc) * per] = np.asarray(chunk)
         c += nc
         if (c // cpc) % 8 == 0:
@@ -272,7 +275,14 @@ def main():
         return best_d, best_i
 
     ocache = (f"{cache}.oracle{'' if nq == 256 else nq}.npz") if cache else ""
-    if ocache and os.path.exists(ocache):
+    skip_recall = bool(os.environ.get("HNSW_BENCH_SKIP_RECALL"))
+    if skip_recall:
+        # qps-only re-measurement (e.g. a bigger query batch on a cached
+        # graph whose recall is already recorded): skip the exact oracle
+        oracle_d = np.zeros((nq, k), np.float32)
+        oracle_ids = np.full((nq, k), -1, np.int32)
+        exact_qps = float("nan")
+    elif ocache and os.path.exists(ocache):
         og = np.load(ocache)
         oracle_d, oracle_ids = og["d"], og["ids"]
         exact_qps = float(og["exact_qps"])
@@ -301,7 +311,8 @@ def main():
 
     results = {
         "n": n, "s": s, "max_nb_conn": m, "ef_construction": efc,
-        "build_s": round(t_build, 1), "exact_qps": round(exact_qps, 1),
+        "build_s": round(t_build, 1),
+        "exact_qps": None if skip_recall else round(exact_qps, 1),
         "points_per_s": round(n / t_build, 1), "curve": [],
         "build_path": ("incremental" if os.environ.get("HNSW_BENCH_INCREMENTAL")
                        else "bulk"),
@@ -340,8 +351,10 @@ def main():
             log(f"tier={tier} ef={ef}: recall@10={rec:.4f} tie-aware={ta:.4f} "
                 f"qps={qps:.0f} (first call {t_compile:.1f}s)")
             results["curve"].append({
-                "tier": tier, "ef": ef, "recall10": round(rec, 4),
-                "tie_aware": round(ta, 4), "qps": round(qps, 1)})
+                "tier": tier, "ef": ef,
+                "recall10": None if skip_recall else round(rec, 4),
+                "tie_aware": None if skip_recall else round(ta, 4),
+                "qps": round(qps, 1)})
 
     out = os.environ.get("HNSW_BENCH_OUT", "HNSW_BENCH.json")
     with open(out, "w") as f:
