@@ -80,6 +80,16 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("-s", "--stats", action="store_true")
     n.add_argument("-e", "--embed", action="store_true")
 
+    # import: reference (Rust gsearch) database dir -> native database
+    # (reference dump layout: src/utils/dumpload.rs:15-62; the published
+    # DBs of gsearch_database.txt become usable without re-sketching)
+    i = sub.add_parser("import", help="convert a reference-format database")
+    i.add_argument("-b", "--refdb", required=True, dest="ref_dir",
+                   help="reference database dir (hnswdump.hnsw.data + "
+                        "seqdict.json + parameters.json)")
+    i.add_argument("-o", "--out", required=True, help="output database dir")
+    i.add_argument("--index", default="auto", choices=["auto", "flat", "hnsw"])
+
     # reformat (src/bin/reformat.rs)
     f = sub.add_parser("reformat", help="neighbors file -> TSV with ANI")
     f.add_argument("kmer", type=int)
@@ -156,6 +166,14 @@ def main(argv=None) -> int:
         )
         res = build_database(args.dir, args.out, params, computing, index_kind=args.index)
         print(f"built database with {res['nb_points']} points in {res['elapsed_s']:.1f}s")
+        return 0
+
+    if args.command == "import":
+        from ..index.refimport import import_reference_db
+
+        res = import_reference_db(args.ref_dir, args.out, index_kind=args.index)
+        print(f"imported {res['nb_points']} points "
+              f"({res['source_dtype']} sigs) -> {res['out']} ({res['index_kind']})")
         return 0
 
     if args.command == "add":

@@ -161,6 +161,56 @@ def _group_reverse(rows_ids, rows_d, *, base, b_real, mmax, rin, sent):
     return inc_tgt, inc_ids, inc_d
 
 
+def _global_reverse_merge(rows_all: np.ndarray, rowsd_all: np.ndarray, *,
+                          base_src: int, rin: int, mmax: int, m_near: int,
+                          sent: int) -> None:
+    """One capped host-vectorized reverse merge: every forward link
+    (src -> tgt) of rows src >= base_src becomes a candidate back-link
+    (tgt -> src), merged into tgt's near region by distance with dup
+    suppression.  Mutates rows_all/rowsd_all in place.  Shared by the bulk
+    constructor (base_src=0: all rows are sources) and the bulk append
+    path (base_src=n0: only the new rows contribute sources — existing
+    links are already mutual from their own build)."""
+    tgt = rows_all[base_src:, :mmax].ravel()
+    dd = rowsd_all[base_src:, :mmax].ravel()
+    src = np.repeat(np.arange(base_src, rows_all.shape[0], dtype=np.int32), mmax)
+    ok = (tgt != sent) & np.isfinite(dd)
+    tgt, dd, src = tgt[ok], dd[ok], src[ok]
+    if not tgt.size:
+        return
+    o = np.lexsort((dd, tgt))
+    tgt, dd, src = tgt[o], dd[o], src[o]
+    first = np.empty(len(tgt), bool)
+    first[0] = True
+    np.not_equal(tgt[1:], tgt[:-1], out=first[1:])
+    seg = np.cumsum(first) - 1
+    seg_start = np.flatnonzero(first)
+    rank = np.arange(len(tgt)) - seg_start[seg]
+    sel = rank < rin
+    u = int(seg[-1]) + 1
+    inc_tgt = tgt[first]
+    inc_ids = np.full((u, rin), sent, np.int32)
+    inc_d = np.full((u, rin), np.inf, np.float32)
+    inc_ids[seg[sel], rank[sel]] = src[sel]
+    inc_d[seg[sel], rank[sel]] = dd[sel]
+    for cstart in range(0, u, 65536):  # chunk the [U, rin, m_near] dup mask
+        ct = inc_tgt[cstart : cstart + 65536]
+        ci = inc_ids[cstart : cstart + 65536]
+        cdv = inc_d[cstart : cstart + 65536].copy()
+        ex_ids = rows_all[ct, :m_near]
+        ex_d = rowsd_all[ct, :m_near]
+        dup = (ci[:, :, None] == ex_ids[:, None, :]).any(-1)
+        cdv[dup] = np.inf
+        comb_ids = np.concatenate([ex_ids, ci], axis=1)
+        comb_d = np.concatenate([ex_d, cdv], axis=1)
+        oc = np.argsort(comb_d, axis=1, kind="stable")[:, :m_near]
+        mids = np.take_along_axis(comb_ids, oc, 1)
+        md = np.take_along_axis(comb_d, oc, 1)
+        mids = np.where(np.isfinite(md), mids, sent)
+        rows_all[ct, :m_near] = mids
+        rowsd_all[ct, :m_near] = md
+
+
 def _next_pow2(n: int, floor: int = 16) -> int:
     b = floor
     while b < n:
@@ -220,6 +270,7 @@ class HnswIndex:
         self._device = None       # (sigs_p, nbrs_p, entries) for search
         self._device_full = None  # [nb+1, S] full sigs for device rerank
         self._device_packed = None  # (w, [nb+1, 8, w/16]) 16-bit-hash rerank
+        self._coarse = None  # MxuSearcher over the prefix (False: won't fit)
 
     # ------------------------------------------------------------------ basics
 
@@ -290,17 +341,21 @@ class HnswIndex:
         called after each applied batch (benchmark instrumentation).
 
         Fresh builds of >= BULK_MIN points take the bulk path (exact MXU
-        kNN sweep -> heuristic links, _build_bulk) unless bulk=False;
-        incremental growth (`add`) always uses the beam-insert path."""
+        kNN sweep -> heuristic links, _build_bulk); appends of >=
+        BULK_ADD_MIN points into an existing graph take the bulk append
+        path (_bulk_add).  bulk=False forces beam inserts; smaller appends
+        always use them."""
         sigs = np.ascontiguousarray(sigs, dtype=self.sig_dtype)
         m = sigs.shape[0]
         if m == 0:
             return
         n0 = self.nb_points
         if bulk is None:
-            bulk = n0 == 0 and m >= self.BULK_MIN
-        if bulk and n0 == 0:
-            return self._build_bulk(sigs, progress=progress)
+            bulk = m >= (self.BULK_MIN if n0 == 0 else self.BULK_ADD_MIN)
+        if bulk:
+            if n0 == 0:
+                return self._build_bulk(sigs, progress=progress)
+            return self._bulk_add(sigs, progress=progress)
         n_total = n0 + m
         B = min(_next_pow2(max(batch_size, 64)), _next_pow2(m))
         cap = _next_pow2(max(n_total, capacity))
@@ -422,12 +477,15 @@ class HnswIndex:
         nbrd_h = np.asarray(d_nbrd)[:n_total]
         self._nbrs = np.where(nbrs_h >= n_total, _PAD, nbrs_h).astype(np.int32)
         self._nbr_d = np.where(nbrs_h >= n_total, np.inf, nbrd_h).astype(np.float32)
+        self._rescue_orphans(self._nbrs, self._nbr_d,
+                             rl=min(4, m0 - m_near))
         self._sigs = np.concatenate([self._sigs, sigs], axis=0)
         del d_sigs, d_nbrs, d_nbrd
         self._refresh_entries()
         self._device = None
         self._device_full = None
         self._device_packed = None
+        self._coarse = None
 
     def _build_bulk(self, sigs: np.ndarray, progress=None) -> None:
         """Bulk graph construction: exact-kNN MXU sweep -> heuristic links.
@@ -502,43 +560,9 @@ class HnswIndex:
         del d_sigs_p
 
         # ---- pass C: global reverse merge (host, vectorized) ----------------
-        tgt = rows_all[:, :mmax].ravel()
-        dd = rowsd_all[:, :mmax].ravel()
-        src = np.repeat(np.arange(n_total, dtype=np.int32), mmax)
-        ok = (tgt != sent) & np.isfinite(dd)
-        tgt, dd, src = tgt[ok], dd[ok], src[ok]
-        if tgt.size:
-            o = np.lexsort((dd, tgt))
-            tgt, dd, src = tgt[o], dd[o], src[o]
-            first = np.empty(len(tgt), bool)
-            first[0] = True
-            np.not_equal(tgt[1:], tgt[:-1], out=first[1:])
-            seg = np.cumsum(first) - 1
-            seg_start = np.flatnonzero(first)
-            rank = np.arange(len(tgt)) - seg_start[seg]
-            sel = rank < rin
-            u = int(seg[-1]) + 1
-            inc_tgt = tgt[first]
-            inc_ids = np.full((u, rin), sent, np.int32)
-            inc_d = np.full((u, rin), np.inf, np.float32)
-            inc_ids[seg[sel], rank[sel]] = src[sel]
-            inc_d[seg[sel], rank[sel]] = dd[sel]
-            for cstart in range(0, u, 65536):  # chunk the [U, rin, m_near] dup mask
-                ct = inc_tgt[cstart : cstart + 65536]
-                ci = inc_ids[cstart : cstart + 65536]
-                cdv = inc_d[cstart : cstart + 65536].copy()
-                ex_ids = rows_all[ct, :m_near]
-                ex_d = rowsd_all[ct, :m_near]
-                dup = (ci[:, :, None] == ex_ids[:, None, :]).any(-1)
-                cdv[dup] = np.inf
-                comb_ids = np.concatenate([ex_ids, ci], axis=1)
-                comb_d = np.concatenate([ex_d, cdv], axis=1)
-                oc = np.argsort(comb_d, axis=1, kind="stable")[:, :m_near]
-                mids = np.take_along_axis(comb_ids, oc, 1)
-                md = np.take_along_axis(comb_d, oc, 1)
-                mids = np.where(np.isfinite(md), mids, sent)
-                rows_all[ct, :m_near] = mids
-                rowsd_all[ct, :m_near] = md
+        _global_reverse_merge(rows_all, rowsd_all, base_src=0, rin=rin,
+                              mmax=mmax, m_near=m_near, sent=sent)
+        self._rescue_orphans(rows_all, rowsd_all, rl=min(4, m0 - m_near))
 
         self._nbrs = np.where(rows_all >= n_total, _PAD, rows_all).astype(np.int32)
         self._nbr_d = np.where(rows_all >= n_total, np.inf,
@@ -548,8 +572,185 @@ class HnswIndex:
         self._device = None
         self._device_full = None
         self._device_packed = None
+        self._coarse = None
         if progress is not None:
             progress(n_total, n_total)
+
+    #: appends at least this large route through the bulk MXU-sweep append
+    #: path instead of per-batch beam inserts (env override for bench sweeps)
+    BULK_ADD_MIN = int(os.environ.get("GSEARCH_TPU_BULK_ADD_MIN", "4096"))
+
+    def _rescue_orphans(self, rows_all: np.ndarray, rowsd_all: np.ndarray,
+                        rl: int) -> None:
+        """Guarantee in-degree >= 1 for every point after a merge pass.
+
+        Distance eviction in the reverse merge can strip EVERY incoming
+        link of a point sitting in a dense tie cluster (its slots in all
+        neighbors' near regions lose to strictly-closer arrivals) — the
+        point keeps its outgoing links but becomes unreachable.  Two
+        rounds of forced back-links (orphan -> its nearest forward
+        neighbor's tail slot) fix the common case; anything still orphaned
+        afterwards (forced links evicting each other) is pinned into the
+        exact-swept entry tier, which makes it reachable outright."""
+        n_total, m0 = rows_all.shape
+        if rl <= 0:
+            return
+        for _ in range(2):
+            valid = (rows_all >= 0) & (rows_all < n_total)  # host pad is -1
+            deg = np.bincount(rows_all[valid], minlength=n_total)
+            orph = np.flatnonzero(deg == 0)
+            if orph.size == 0:
+                return
+            t = rows_all[orph, 0]
+            ok = (t >= 0) & (t < n_total)
+            orph, t = orph[ok], t[ok]
+            if orph.size == 0:
+                break
+            d = rowsd_all[orph, 0]
+            srl = (orph ^ (orph >> 4) ^ (orph >> 9)) % rl
+            tail_d = rowsd_all[t, m0 - rl:]
+            order = np.argsort(-tail_d, axis=1, kind="stable")
+            slot = order[np.arange(len(orph)), srl] + (m0 - rl)
+            rows_all[t, slot] = orph
+            rowsd_all[t, slot] = d
+        valid = (rows_all >= 0) & (rows_all < n_total)
+        deg = np.bincount(rows_all[valid], minlength=n_total)
+        orph = np.flatnonzero(deg == 0).astype(np.int32)
+        if orph.size:
+            self._pinned = np.unique(np.concatenate([self._pinned, orph]))
+
+    def _bulk_add(self, sigs: np.ndarray, progress=None) -> None:
+        """Bulk append into an existing graph: exact MXU kNN sweep of the
+        new batch against (existing + batch), heuristic links for the new
+        rows, one global reverse merge into the existing near regions.
+
+        Same machinery as _build_bulk, seeded with the existing graph —
+        the beam-insert path pays a device round trip per 1024-point batch
+        (~4,800 s for 262k appends), while this is three MXU/host passes
+        (reference role: dnasketch.rs:426-436, where add and build use the
+        identical parallel_insert)."""
+        from ..ops.mxu import MxuSearcher
+
+        n0 = self.nb_points
+        m = sigs.shape[0]
+        n_total = n0 + m
+        sp = self.search_prefix
+        m0, mmax = self.m0, self.max_nb_conn
+        sent = _next_pow2(n_total)
+        rin = 8
+        m_near = max(m0 - max(m0 // 4, min(8, m0 // 2)), 4)
+        C = min(max(min(2 * m0, 512), m0), max(n_total - 1, 1))
+        u_all = np.empty((n_total, sp), np.uint32)
+        u_all[:n0] = _as_u32(self._sigs[:, :sp])
+        u_all[n0:] = _as_u32(np.ascontiguousarray(sigs[:, :sp], self.sig_dtype))
+
+        # ---- pass A: exact top-C sweep for the NEW points only --------------
+        searcher = MxuSearcher(u_all, compact=True, nb_cand=min(3 * C, n_total))
+        knn_ids = np.empty((m, C), np.int32)
+        knn_d = np.empty((m, C), np.float32)
+        qb = 4096
+        for start in range(0, m, qb):
+            q = u_all[n0 + start : n0 + min(start + qb, m)]
+            d, ids = searcher.search(q, knbn=min(C + 1, n_total))
+            me = np.arange(n0 + start, n0 + start + q.shape[0],
+                           dtype=np.int32)[:, None]
+            d = np.where(ids == me, np.inf, d)  # drop self
+            o = np.argsort(d, axis=1, kind="stable")[:, :C]
+            knn_ids[start : start + q.shape[0]] = np.take_along_axis(ids, o, 1)
+            knn_d[start : start + q.shape[0]] = np.take_along_axis(d, o, 1)
+            if progress is not None:
+                progress(min(start + qb, m) // 2, m)
+        del searcher
+
+        # entry pinning (same rule as the beam-insert path): a new point
+        # whose nearest PRE-EXISTING neighbor is ~max distance is only
+        # findable through the exact entry tier; pin the first member of
+        # each such novel cluster
+        grow = np.arange(n0, n_total, dtype=np.int32)
+        old_ok = (knn_ids < n0) & np.isfinite(knn_d)
+        has_old = old_ok.any(axis=1)
+        f_near = np.where(has_old,
+                          np.take_along_axis(
+                              knn_d, np.argmax(old_ok, 1)[:, None], 1)[:, 0],
+                          np.inf)
+        mate_lt = ((knn_ids >= n0) & (knn_ids < grow[:, None])
+                   & (knn_d < self.PIN_D))
+        new_pins = grow[(f_near >= self.PIN_D) & ~mate_lt.any(axis=1)]
+        if new_pins.size:
+            self._pinned = np.unique(
+                np.concatenate([self._pinned, new_pins.astype(np.int32)]))
+
+        # ---- pass B: heuristic keep + forward rows for the new points -------
+        self._ensure_nbr_d()
+        rows_all = np.full((n_total, m0), sent, np.int32)
+        rowsd_all = np.full((n_total, m0), np.inf, np.float32)
+        rows_all[:n0] = np.where(self._nbrs == _PAD, sent, self._nbrs)
+        rowsd_all[:n0] = self._nbr_d
+        d_sigs_p = jnp.asarray(u_all)
+        kb = 1024 if m >= 1024 else _next_pow2(m, floor=16)
+        for start in range(0, m, kb):
+            b_real = min(kb, m - start)
+            cid = np.zeros((kb, C), np.int32)
+            cd = np.full((kb, C), np.inf, np.float32)
+            cid[:b_real] = knn_ids[start : start + b_real]
+            cd[:b_real] = knn_d[start : start + b_real]
+            keep = np.asarray(_bulk_keep(d_sigs_p, jnp.asarray(cid),
+                                         jnp.asarray(cd)))
+            rows_ids, rows_d = _forward_rows(
+                cid, cd, keep, base=n0 + start, valid_limit=n_total,
+                n_total=n_total, m0=m0, m_near=m_near, sent=sent,
+                b_real=b_real)
+            rows_all[n0 + start : n0 + start + b_real] = rows_ids[:b_real]
+            rowsd_all[n0 + start : n0 + start + b_real] = rows_d[:b_real]
+            if progress is not None:
+                progress((m + min(start + kb, m)) // 2, m)
+        del d_sigs_p
+
+        # ---- pass C: reverse merge, new rows as sources ---------------------
+        _global_reverse_merge(rows_all, rowsd_all, base_src=n0, rin=rin,
+                              mmax=mmax, m_near=m_near, sent=sent)
+
+        # reachability guarantee (same rule as _insert_apply): each new
+        # point forces ONE back-link from a near pre-existing neighbor into
+        # that row's tail slots — distance-only merging would evict every
+        # back-link toward a cluster that is far from the whole old
+        # database, leaving it unreachable
+        rl = min(4, m0 - m_near)
+        if rl > 0:
+            cum = np.cumsum(old_ok, axis=1)
+            k_old = cum[:, -1]
+            has = k_old > 0
+            # spread same-cluster sources over the 16 nearest old
+            # candidates so forced links don't all collide on one target
+            pick = (grow % np.minimum(np.maximum(k_old, 1), 16)) + 1
+            fcol = np.argmax(cum == pick[:, None], axis=1)
+            rowsel = np.flatnonzero(has)
+            if rowsel.size:
+                f_tgt = knn_ids[rowsel, fcol[rowsel]]
+                f_src = grow[rowsel]
+                f_d = knn_d[rowsel, fcol[rowsel]]
+                tail_d = rowsd_all[f_tgt, m0 - rl:]
+                order = np.argsort(-tail_d, axis=1, kind="stable")
+                srl = (f_src ^ (f_src >> 4) ^ (f_src >> 9)) % rl
+                slot = order[np.arange(len(f_src)), srl]
+                tail_i = rows_all[f_tgt, m0 - rl:]
+                here = tail_i == f_src[:, None]
+                slot = np.where(here.any(1), np.argmax(here, 1), slot) + (m0 - rl)
+                rows_all[f_tgt, slot] = f_src
+                rowsd_all[f_tgt, slot] = f_d
+        self._rescue_orphans(rows_all, rowsd_all, rl)
+
+        self._nbrs = np.where(rows_all >= n_total, _PAD, rows_all).astype(np.int32)
+        self._nbr_d = np.where(rows_all >= n_total, np.inf,
+                               rowsd_all).astype(np.float32)
+        self._sigs = np.concatenate([self._sigs, sigs.astype(self.sig_dtype)], 0)
+        self._refresh_entries()
+        self._device = None
+        self._device_full = None
+        self._device_packed = None
+        self._coarse = None
+        if progress is not None:
+            progress(m, m)
 
     def _ensure_nbr_d(self) -> None:
         """Backfill cached link distances (prefix metric) for graphs loaded
@@ -633,11 +834,42 @@ class HnswIndex:
             self._device_full = jnp.asarray(full.reshape(nb + 1, 8, sp // 8))
         return self._device_full
 
+    #: databases at least this large use the coarse MXU candidate path on
+    #: TPU (exact prefix-metric top-r sweep via ops/mxu.py) instead of the
+    #: beam, when its compact representation fits next to the rerank tier.
+    #: Candidates are then EXACTLY the prefix-metric top-r — recall >= the
+    #: beam's at the same rerank width — at dense-matmul throughput, where
+    #: the beam pays dedup/merge VPU work per hop (the r2 verdict's
+    #: "hybrid MXU coarse -> refine").  GSEARCH_TPU_FORCE_BEAM=1 overrides.
+    COARSE_MIN = int(os.environ.get("GSEARCH_TPU_COARSE_MIN", "65536"))
+    #: HBM budget for the coarse representation (leaves room for the
+    #: packed/full rerank tier, whose own budget is _RERANK_DEVICE_BYTES)
+    COARSE_BYTES = int(os.environ.get("GSEARCH_TPU_COARSE_BYTES",
+                                      "6500000000"))
+
+    def _coarse_searcher(self):
+        """Compact MxuSearcher over the signature PREFIX, or None."""
+        if self._coarse is False:
+            return None
+        if self._coarse is None:
+            from ..ops.mxu import MxuSearcher, planned_footprint
+
+            sp = self.search_prefix
+            n = self.nb_points
+            _, rep = planned_footprint(n, sp)
+            if rep > self.COARSE_BYTES:
+                self._coarse = False
+                return None
+            self._coarse = MxuSearcher(
+                np.ascontiguousarray(_as_u32(self._sigs[:, :sp])))
+        return self._coarse
+
     def search(
         self, queries: np.ndarray, knbn: int, ef_search: int = 0
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Batched k-NN: entry tier (exact) -> beam search on the signature
-        prefix -> full-signature rerank of the top candidates.
+        """Batched k-NN: coarse candidates on the signature prefix (exact
+        MXU sweep on TPU at scale, else entry tier + beam search) -> full-
+        signature rerank of the top candidates.
 
         Returns (distances [Q, k], ids [Q, k]); parity with
         hnsw_rs parallel_search (dnarequest.rs:353)."""
@@ -654,8 +886,7 @@ class HnswIndex:
 
             return bucketed_knn(queries, self._sigs, knbn)
 
-        sigs_p, nbrs_p, entries = self._device_arrays()
-        nb = sigs_p.shape[0] - 1
+        nb = _next_pow2(n)
         sp = self.search_prefix
         qb = _next_pow2(nq, floor=8)
         q_p = np.full((qb, sp), 0xFFFFFFFF, np.uint32)
@@ -668,11 +899,20 @@ class HnswIndex:
         no_rerank = sp >= self.sketch_size
         r = knbn if no_rerank else min(_round_up(max(4 * knbn, 32), 8), ef_round)
 
-        dp, ids = _graph_search(
-            sigs_p, nbrs_p, entries, jnp.asarray(q_p), jnp.int32(n),
-            ef=ef_round, r=r, hops=hops, expand=expand,
-            gather_impl=_beam_gather_impl(sp, qb),
-        )
+        coarse = None
+        if (jax.default_backend() == "tpu" and n >= self.COARSE_MIN
+                and not os.environ.get("GSEARCH_TPU_FORCE_BEAM")):
+            coarse = self._coarse_searcher()
+        if coarse is not None:
+            dp, ids = coarse.search_device(
+                jnp.asarray(q_p), knbn=knbn if no_rerank else r)
+        else:
+            sigs_p, nbrs_p, entries = self._device_arrays()
+            dp, ids = _graph_search(
+                sigs_p, nbrs_p, entries, jnp.asarray(q_p), jnp.int32(n),
+                ef=ef_round, r=r, hops=hops, expand=expand,
+                gather_impl=_beam_gather_impl(sp, qb),
+            )
         if no_rerank:
             return np.asarray(dp)[:nq], np.asarray(ids)[:nq]
 

@@ -20,8 +20,32 @@ _ID_CAP = 512
 
 def _find_lib() -> Optional[str]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    cand = os.path.join(here, "native", "libfastaparse.so")
+    native_dir = os.path.join(here, "native")
+    cand = os.path.join(native_dir, "libfastaparse.so")
+    src = os.path.join(native_dir, "fastaparse.cpp")
+    if os.path.exists(src):
+        stale = not os.path.exists(cand) or os.path.getmtime(cand) < os.path.getmtime(src)
+        if stale and os.environ.get("GSEARCH_TPU_NO_NATIVE_BUILD") != "1":
+            _try_build(native_dir)
     return cand if os.path.exists(cand) else None
+
+
+def _try_build(native_dir: str) -> None:
+    """Best-effort one-shot build of the native library (reference role:
+    the Rust crates are compiled ahead of time; here we lazily compile on
+    first import so the fast ingest path is active without a manual step)."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["sh", os.path.join(native_dir, "build.sh")],
+            cwd=native_dir,
+            capture_output=True,
+            timeout=120,
+            check=True,
+        )
+    except Exception:
+        pass  # toolchain absent or build failed; Python path covers everything
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

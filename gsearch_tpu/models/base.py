@@ -50,10 +50,30 @@ _BLOCK_STEP_LOG2 = 1
 
 
 def block_length(n: int, max_log2: int = _MAX_BLOCK_LOG2) -> int:
+    """Smallest block bucket >= n: powers of two plus 1.5x midpoints
+    (3*2^(k-1)), capping worst-case padding at 33% instead of 100%.
+    Midpoints are multiples of 8192, so every lane/packing constraint of
+    the race kernels holds.  Upload bytes scale with the bucket, and the
+    relay link is the ingest bottleneck, so padding is pure loss."""
+    cap = 1 << max_log2
     nb = 1 << _MIN_BLOCK_LOG2
-    while nb < n and nb < (1 << max_log2):
+    while nb < n and nb < cap:
+        mid = nb + (nb >> 1)
+        if n <= mid and mid <= cap:
+            return mid
         nb <<= _BLOCK_STEP_LOG2
-    return min(nb, 1 << max_log2)
+    return min(nb, cap)
+
+
+class SketchTicket:
+    """Handle for an asynchronous sketch_submit: rows land in `out` as the
+    sketcher's in-flight window drains; complete when open_batches == 0."""
+
+    __slots__ = ("out", "open_batches")
+
+    def __init__(self, out: np.ndarray):
+        self.out = out
+        self.open_batches = 0
 
 
 class SketcherBase:
@@ -78,6 +98,9 @@ class SketcherBase:
         # and its device buffers in a global cache forever)
         self._fn_cache: dict = {}
         self.mesh = None  # optional jax Mesh: shard batched sketching over 'd'
+        # FIFO of (ticket, chunk_indices, in-flight device sigs); shared
+        # across sketch_submit calls so successive pipeline flushes overlap
+        self._inflight: list = []
 
     def set_mesh(self, mesh) -> None:
         """Enable data-parallel sketching over the mesh's 'd' axis: genome
@@ -344,13 +367,27 @@ class SketcherBase:
     def _BATCH_ELEMS_LOG2(self) -> int:
         return 25 if jax.default_backend() == "tpu" else 23
 
+    #: device dispatches kept in flight before the oldest is fetched; the
+    #: window lets host pack/assembly and relay upload of batch i+1..i+w
+    #: overlap device compute of batch i (JAX dispatch is async)
+    INFLIGHT = 4
+
     def sketch_many(self, codes_list: Sequence[np.ndarray]) -> np.ndarray:
-        """Signatures for a list of genomes, stacked [B, nb_slots].
+        """Signatures for a list of genomes, stacked [B, nb_slots]."""
+        return self.sketch_finish(self.sketch_submit(codes_list))
+
+    def sketch_submit(self, codes_list: Sequence[np.ndarray]) -> "SketchTicket":
+        """Asynchronously dispatch signatures for a list of genomes.
 
         Genomes are grouped by block bucket and sketched in batched device
         dispatches; only genomes longer than the largest block fall back to
-        the streaming per-genome path."""
+        the streaming per-genome path.  Dispatches stay in flight on a
+        sketcher-wide window, so successive submits from the ingest
+        pipeline keep the device busy across flush boundaries
+        (reference role: the sketcher thread pool of dnasketch.rs:246-325;
+        here the overlap is host-pack/relay-upload vs device compute)."""
         out = np.empty((len(codes_list), self.nb_slots), dtype=self.SIG_DTYPE)
+        ticket = SketchTicket(out)
         max_block = 1 << _MAX_BLOCK_LOG2
         groups: dict = {}
         for i, codes in enumerate(codes_list):
@@ -358,16 +395,16 @@ class SketcherBase:
                 out[i] = self.sketch_codes(codes)
             else:
                 groups.setdefault(block_length(len(codes)), []).append(i)
-        # dispatch asynchronously, fetch behind a small in-flight window so
-        # host batch-assembly and upload overlap with device compute
-        pending: list = []
+
+        pending = self._inflight
 
         def drain(limit: int):
             while len(pending) > limit:
-                chunk, dev_sigs = pending.pop(0)
+                tkt, chunk, dev_sigs = pending.pop(0)
                 sigs = np.asarray(dev_sigs)
                 for row, i in enumerate(chunk):
-                    out[i] = sigs[row]
+                    tkt.out[i] = sigs[row]
+                tkt.open_batches -= 1
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -384,19 +421,29 @@ class SketcherBase:
             put = jnp.asarray
 
         for nb, idxs in groups.items():
-            bcap = max(nd, (1 << self._BATCH_ELEMS_LOG2) // nb)
+            bcap = (1 << self._BATCH_ELEMS_LOG2) // nb
+            # round DOWN to a power of two so full batches share one
+            # compiled shape with every other bucket-size run
+            bcap = max(nd, 1 << max(bcap.bit_length() - 1, 0))
             for start in range(0, len(idxs), bcap):
                 chunk = idxs[start : start + bcap]
                 b = nd
                 while b < len(chunk):
                     b <<= 1
                 b = min(b, bcap)
-                arr = np.full((b, nb), 255, dtype=np.uint8)
+                pack_ok = not (self.is_aa or self._upload_raw)
+                if pack_ok:
+                    # exc-form packing masks by per-row length, so padding
+                    # (and unused rows) may hold garbage: skip the 32 MB
+                    # np.full clear, pay only the genome memcpy
+                    arr = np.empty((b, nb), dtype=np.uint8)
+                else:
+                    arr = np.full((b, nb), 255, dtype=np.uint8)
                 lens = np.zeros(b, dtype=np.int32)
                 for row, i in enumerate(chunk):
                     arr[row, : len(codes_list[i])] = codes_list[i]
                     lens[row] = len(codes_list[i])
-                if self.is_aa or self._upload_raw:
+                if not pack_ok:
                     form = "raw" if not self.is_aa else "exc"  # key only
                     dev = self._batch_fn(b, nb, form)(put(arr))
                 else:
@@ -406,12 +453,26 @@ class SketcherBase:
                         dev = self._batch_fn(b, nb, "exc")(
                             put(p2), put(lens), put(inv))
                     else:  # N-run-heavy batch: validity bit plane
+                        arr[arr >= 4] = 255  # garbage padding -> invalid
+                        for row in range(len(chunk), b):
+                            arr[row] = 255
                         p2, vb = self._pack_host(arr)
                         dev = self._batch_fn(b, nb, "plane")(put(p2), put(vb))
-                pending.append((chunk, dev))
-                drain(limit=3)
-        drain(limit=0)
-        return out
+                ticket.open_batches += 1
+                pending.append((ticket, chunk, dev))
+                drain(limit=self.INFLIGHT)
+        return ticket
+
+    def sketch_finish(self, ticket: "SketchTicket") -> np.ndarray:
+        """Block until every batch of `ticket` has landed; return its rows."""
+        pending = self._inflight
+        while ticket.open_batches > 0:
+            tkt, chunk, dev_sigs = pending.pop(0)
+            sigs = np.asarray(dev_sigs)
+            for row, i in enumerate(chunk):
+                tkt.out[i] = sigs[row]
+            tkt.open_batches -= 1
+        return ticket.out
 
 
 def make_sketcher(params: SeqSketcherParams, seed: int = 0x5EED) -> SketcherBase:

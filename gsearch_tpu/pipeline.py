@@ -126,12 +126,13 @@ def _sketch_dir(
     if not paths:
         raise FileNotFoundError(f"no FASTA files under {dirpath}")
     log.info("found %d files under %s", len(paths), dirpath)
-    sigs: List[np.ndarray] = []
+    tickets: List = []
     nb_seq = 0
     t_report = time.time()
     # buffer parsed genomes and sketch them in batched device dispatches
     # (the analog of the reference's 100-Mbase sketcher batches,
-    # dnasketch.rs:246-325)
+    # dnasketch.rs:246-325); submits are asynchronous, so device compute
+    # of one flush overlaps parse/pack/upload of the next
     buf_codes: List[np.ndarray] = []
     buf_bases = 0
 
@@ -140,8 +141,7 @@ def _sketch_dir(
         if not buf_codes:
             return
         with timer.stage("sketch"):
-            batch = sketcher.sketch_many(buf_codes)
-        sigs.extend(batch)
+            tickets.append(sketcher.sketch_submit(buf_codes))
         buf_codes = []
         buf_bases = 0
 
@@ -187,6 +187,10 @@ def _sketch_dir(
             t_report = time.time()
     prod.join()
     flush()
+    sigs: List[np.ndarray] = []
+    with timer.stage("sketch-drain"):
+        for t in tickets:
+            sigs.extend(sketcher.sketch_finish(t))
     return sigs
 
 
@@ -256,6 +260,29 @@ def build_database(
     return {"nb_points": index.nb_points, "elapsed_s": time.time() - t0, "stages": report}
 
 
+def _migrate_flat_if_needed(index, params: ProcessingParams, n_after: int):
+    """`add` growth guard: a flat DB pushed past the flat auto-limit is
+    converted to an hnsw index (bulk build over the existing signatures)
+    before the new points go in.  Without this, a flat DB grown by
+    repeated adds would eventually build an MxuSearcher whose compact
+    representations exceed HBM (r2 verdict weak #5; the reference has no
+    analogous cliff because hnsw_rs is always a graph, dnasketch.rs:139)."""
+    from .index.flat import FlatIndex
+
+    if not isinstance(index, FlatIndex):
+        return index
+    if n_after <= flat_auto_limit(params.sketch.sketch_size):
+        return index
+    log.info(
+        "flat database would grow to %d points (> auto-limit %d at s=%d): "
+        "converting to hnsw before the add",
+        n_after, flat_auto_limit(params.sketch.sketch_size),
+        params.sketch.sketch_size)
+    new = _new_index(params, index.sig_dtype, "hnsw", nb_hint=n_after)
+    new.insert(index.get_sigs())
+    return new
+
+
 def add_to_database(db_dir: str, new_dir: str, computing: ComputingParams | None = None) -> dict:
     """add: incremental insertion, parameters reloaded from the database
     (reference: SURVEY.md §3.3 — ids continue from seqdict length)."""
@@ -268,6 +295,7 @@ def add_to_database(db_dir: str, new_dir: str, computing: ComputingParams | None
     timer = StageTimer()
     t0 = time.time()
     sigs = _sketch_dir(new_dir, params, computing, seqdict, timer)
+    index = _migrate_flat_if_needed(index, params, len(seqdict))
     with timer.stage("index_insert"):
         index.insert(np.stack(sigs))
     assert index.nb_points == len(seqdict)

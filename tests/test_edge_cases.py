@@ -100,3 +100,44 @@ def test_empty_and_tiny_records_skipped(tmp_path):
     sigs = np.load(os.path.join(out, "index.sigs.npy"))
     # the all-N genome must not match the real genome
     assert (sigs[0] == sigs[1]).mean() < 0.05
+
+
+def test_add_migrates_flat_past_auto_limit(tmp_path, monkeypatch):
+    """An `add` that grows a flat DB past the flat auto-limit converts it
+    to an hnsw index (no OOM route through pipeline.add_to_database)."""
+    import numpy as np
+
+    from gsearch_tpu import pipeline
+    from gsearch_tpu.core import ComputingParams, HnswParams, ProcessingParams
+    from gsearch_tpu.core.params import SeqSketcherParams
+    from gsearch_tpu.index.serialize import load_index
+
+    rng = np.random.default_rng(0)
+
+    def write_dir(d, n_files, tag):
+        d.mkdir(exist_ok=True)
+        for i in range(n_files):
+            seq = "".join(rng.choice(list("ACGT"), 400))
+            (d / f"{tag}{i}.fna").write_text(f">{tag}{i}\n{seq}\n")
+
+    build_dir, add_dir, db = tmp_path / "b", tmp_path / "a", tmp_path / "db"
+    write_dir(build_dir, 6, "base")
+    write_dir(add_dir, 6, "new")
+    params = ProcessingParams(
+        hnsw=HnswParams(capacity=1000, ef=32, max_nb_conn=8,
+                        scale_modification=1.0),
+        sketch=SeqSketcherParams(kmer_size=8, sketch_size=64, algo="OPTDENS",
+                                 data_t="DNA"),
+        block_flag=True,
+    )
+    pipeline.build_database(str(build_dir), str(db), params,
+                            ComputingParams(), index_kind="flat")
+    assert load_index(str(db)).KIND == "flat"
+
+    # shrink the auto-limit so the add crosses it
+    monkeypatch.setattr(pipeline, "FLAT_AUTO_CAP", 8)
+    res = pipeline.add_to_database(str(db), str(add_dir), ComputingParams())
+    assert res["nb_points"] == 12
+    migrated = load_index(str(db))
+    assert migrated.KIND == "hnsw"
+    assert migrated.nb_points == 12

@@ -280,3 +280,52 @@ def test_packed_rerank_matches_exact(rng, monkeypatch):
     same = np.mean([len(set(ids_packed[i]) & set(ids_exact[i])) / k
                     for i in range(len(queries))])
     assert same >= 0.95, f"packed/exact neighbor overlap {same:.3f}"
+
+
+def test_hnsw_bulk_add_recall(rng):
+    """Bulk append (_bulk_add: MXU sweep of the new batch + single reverse
+    merge) matches the recall of a FRESH bulk build of the same points —
+    the parity criterion: appending must not degrade the graph vs
+    rebuilding from scratch (reference role: dnasketch.rs:426-436, where
+    add and build run the identical parallel_insert)."""
+    n0, n1, s, k = 2000, 1500, 128, 10
+    base = _sig_cloud(rng, n0, s, n_clusters=24)
+    extra = _sig_cloud(rng, n1, s, n_clusters=16)
+    allsigs = np.concatenate([base, extra], axis=0)
+    queries = np.concatenate([base[:50], extra[:50]], axis=0)
+
+    flat = FlatIndex(sketch_size=s, sig_dtype=np.uint32)
+    flat.insert(allsigs)
+    true_d, _ = flat.search(queries, knbn=k)
+
+    def tie_aware(index):
+        got_d, _ = index.search(queries, knbn=k, ef_search=128)
+        return np.mean([
+            1.0 - sum(1 for a, b in zip(sorted(got_d[i]), sorted(true_d[i]))
+                      if a > b + 1e-6) / k
+            for i in range(len(queries))
+        ])
+
+    kw = dict(sketch_size=s, sig_dtype=np.uint32, max_nb_conn=24,
+              ef_construction=96, search_prefix=s)
+    fresh = HnswIndex(**kw)
+    fresh.insert(allsigs, bulk=True)
+    ta_fresh = tie_aware(fresh)
+
+    grown = HnswIndex(**kw)
+    grown.insert(base, bulk=True)
+    grown.insert(extra, bulk=True)  # n0 > 0 -> bulk append path
+    assert grown.nb_points == n0 + n1
+    ta_grown = tie_aware(grown)
+    assert ta_grown >= ta_fresh - 0.02, (
+        f"bulk-add tie-aware recall@{k} = {ta_grown:.3f} vs fresh build "
+        f"{ta_fresh:.3f}")
+    # self-findability of the appended points: no worse than the same
+    # points in the fresh build (this tie-heavy noise cloud defeats greedy
+    # navigation for a few points in ANY graph build; the criterion is
+    # that appending does not add misses)
+    d2, _ = grown.search(extra[:32], knbn=1, ef_search=256)
+    df, _ = fresh.search(extra[:32], knbn=1, ef_search=256)
+    miss_grown = int((d2[:, 0] > 1e-6).sum())
+    miss_fresh = int((df[:, 0] > 1e-6).sum())
+    assert miss_grown <= miss_fresh + 1, (miss_grown, miss_fresh)

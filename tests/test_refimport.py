@@ -1,0 +1,137 @@
+"""Reference-database import: synthetic dumps written to the reference's
+documented layout (dumpload.rs:15-62, idsketch.rs:164-253,
+parameters.rs:178-218) round-trip into a native database."""
+
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from gsearch_tpu.core.params import (HnswParams, ProcessingParams,
+                                     SeqSketcherParams)
+from gsearch_tpu.index.refimport import (fold_u64_sigs, import_reference_db,
+                                         read_hnsw_data,
+                                         read_reference_seqdict,
+                                         reference_sig_dtype)
+from gsearch_tpu.index.serialize import load_index
+
+
+def _write_reference_dump(d, sigs, *, algo="OPTDENS", kmer=16,
+                          record_magic=True, record_len=True):
+    """Synthesize a reference DB dir: hnsw_rs-style .data records
+    ([u32 magic][u64 DataId][u64 len][payload]; variants drop the magic or
+    the length), streamed-concatenated seqdict.json, parameters.json."""
+    n, dim = sigs.shape
+    with open(os.path.join(d, "hnswdump.hnsw.data"), "wb") as f:
+        for i in range(n):
+            if record_magic:
+                f.write(struct.pack("<I", 0xA67F0CAFE & 0xFFFFFFFF))
+            f.write(struct.pack("<Q", i))
+            if record_len:
+                f.write(struct.pack("<Q", dim))
+            f.write(sigs[i].tobytes())
+    with open(os.path.join(d, "seqdict.json"), "w") as f:
+        for i in range(n):  # reference streamed form: concatenated objects
+            f.write(json.dumps({"id": {"path": f"/data/g{i}.fna",
+                                       "fasta_id": f"g{i}"},
+                                "len": 1000 + i}))
+    params = ProcessingParams(
+        hnsw=HnswParams(capacity=1_500_000, ef=64, max_nb_conn=32,
+                        scale_modification=1.0),
+        sketch=SeqSketcherParams(kmer_size=kmer, sketch_size=dim, algo=algo,
+                                 data_t="DNA"),
+        block_flag=True,
+    )
+    params.dump_json(d)
+    with open(os.path.join(d, "hnswdump.hnsw.graph"), "wb") as f:
+        f.write(b"\x00" * 64)  # present but unused (graph is rebuilt)
+
+
+def test_seqdict_streamed_form(tmp_path):
+    d = str(tmp_path)
+    sigs = np.zeros((5, 8), np.float32)
+    _write_reference_dump(d, sigs)
+    sd = read_reference_seqdict(os.path.join(d, "seqdict.json"))
+    assert len(sd) == 5
+    assert sd[3].id.path == "/data/g3.fna"
+    assert sd[3].id.fasta_id == "g3"
+    assert sd[3].len == 1003
+
+
+@pytest.mark.parametrize("record_magic,record_len", [
+    (True, True), (True, False), (False, True), (False, False)])
+def test_data_layout_detection(tmp_path, record_magic, record_len):
+    rng = np.random.default_rng(0)
+    d = str(tmp_path)
+    sigs = rng.random((37, 48)).astype(np.float32)
+    _write_reference_dump(d, sigs, record_magic=record_magic,
+                          record_len=record_len)
+    got = read_hnsw_data(os.path.join(d, "hnswdump.hnsw.data"),
+                         n=37, dim=48, dtype=np.float32)
+    np.testing.assert_array_equal(got, sigs)
+
+
+def test_reference_sig_dtype():
+    def pp(algo, k, data_t="DNA"):
+        return ProcessingParams(
+            hnsw=HnswParams(), block_flag=True,
+            sketch=SeqSketcherParams(kmer_size=k, sketch_size=64, algo=algo,
+                                     data_t=data_t))
+    assert reference_sig_dtype(pp("OPTDENS", 21)) == np.float32
+    assert reference_sig_dtype(pp("SUPER", 21)) == np.float32
+    assert reference_sig_dtype(pp("HLL", 21)) == np.uint16
+    assert reference_sig_dtype(pp("PROB3A", 16)) == np.uint32
+    assert reference_sig_dtype(pp("PROB3A", 21)) == np.uint64
+    assert reference_sig_dtype(pp("SUPER2", 7, "AA")) == np.uint64
+    assert reference_sig_dtype(pp("SUPER2", 5, "AA")) == np.uint32
+
+
+def test_fold_u64_preserves_equality():
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 1 << 63, (20, 16), dtype=np.uint64)
+    b = a.copy()
+    b[:, ::2] = rng.integers(0, 1 << 63, (20, 8), dtype=np.uint64)
+    fa, fb = fold_u64_sigs(a), fold_u64_sigs(b)
+    assert fa.dtype == np.uint32
+    # equal slots stay equal; the flipped slots (random) differ
+    np.testing.assert_array_equal(fa[:, 1::2], fb[:, 1::2])
+    assert (fa[:, ::2] != fb[:, ::2]).mean() > 0.99
+
+
+def test_import_end_to_end(tmp_path):
+    """Full import: reference dir -> native DB dir -> search finds the
+    imported points (self-queries at distance 0)."""
+    rng = np.random.default_rng(2)
+    ref = tmp_path / "refdb"
+    out = tmp_path / "native"
+    ref.mkdir()
+    n, dim = 200, 64
+    sigs = (rng.random((n, dim)).astype(np.float32) * 8).round() / 8
+    _write_reference_dump(str(ref), sigs)
+    res = import_reference_db(str(ref), str(out))
+    assert res["nb_points"] == n
+    index = load_index(str(out))
+    assert index.nb_points == n
+    d, ids = index.search(sigs[:10], knbn=1)
+    np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-6)
+
+
+def test_import_u64_prob_db(tmp_path):
+    """PROB3A k=21 reference DB stores u64 signatures; import folds to
+    u32 while preserving the Hamming structure."""
+    rng = np.random.default_rng(3)
+    ref = tmp_path / "refdb"
+    out = tmp_path / "native"
+    ref.mkdir()
+    n, dim = 100, 32
+    sigs = rng.integers(0, 1 << 60, (n, dim), dtype=np.uint64)
+    _write_reference_dump(str(ref), sigs, algo="PROB3A", kmer=21)
+    res = import_reference_db(str(ref), str(out))
+    assert res["source_dtype"] == "uint64"
+    index = load_index(str(out))
+    assert index.get_sigs().dtype == np.uint32
+    d, ids = index.search(fold_u64_sigs(sigs[:5]), knbn=1)
+    assert (ids[:, 0] == np.arange(5)).all()
+    np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-6)
