@@ -52,8 +52,10 @@ def main(argv=None) -> int:
     ap.add_argument("-t", "--threads", type=int, default=0, help="accepted for parity; unused")
     ap.add_argument("-o", "--output", default="superani.out")
     ap.add_argument("--model", default=None,
-                    help="JSON regression-correction coefficients "
-                         "(skani regression hook, superani.rs:107)")
+                    help="JSON regression-correction coefficients; default "
+                         "= bundled fitted model (skani always applies its "
+                         "learned regression, superani.rs:107); 'none' = "
+                         "raw chained seed-identity ANI")
     args = ap.parse_args(argv)
     from ..utils import enable_compilation_cache
 

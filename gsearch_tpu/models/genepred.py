@@ -264,7 +264,15 @@ class GenePredParams:
     model: "GeneModel | None" = None      # CG-binned tables; overrides the two above
     p_gene_start: float = 1.0 / 400.0     # nc -> gene rate per strand
     start_codon_bonus: float = 3.0        # extra for ATG/GTG/TTG at gene start
-    stop_codon_bonus: float = 6.0         # extra for a proper stop at gene end
+    #: extra for a proper stop at gene end; None resolves by mode in
+    #: __post_init__.  Whole-genome calling: 9.0, tuned on the realistic
+    #: planted-genome benchmark (scripts/bench_genepred.py, GENEPRED_BENCH:
+    #: 6.0 left sensitivity at 0.53; 9.0 reaches sens 1.0 / prec 0.97+
+    #: across the start-bonus / p_gene_start grid).  Read mode with indel
+    #: states: 6.0 — a larger stop bonus makes "stop at the frameshift +
+    #: restart" outscore the insert-state detour, truncating exactly the
+    #: genes the error model exists to rescue.
+    stop_codon_bonus: float | None = None
     min_gene_len: int = 90                # nt, reference default ORF floor
     whole_genes_only: bool = True         # -w 1 equivalent
     #: enable the sequencing-error states (FragGeneScan's short-read error
@@ -273,6 +281,15 @@ class GenePredParams:
     #: per-base insertion/deletion rate when allow_indels (FGS train files
     #: ship ~1e-2 for 454 reads, ~1e-4 for complete genomes)
     indel_rate: float = 1e-2
+
+    @property
+    def stop_bonus(self) -> float:
+        """Mode-resolved stop bonus (None default -> 9.0 whole-genome,
+        6.0 with the indel/read error model); resolved at use time because
+        callers toggle allow_indels after construction."""
+        if self.stop_codon_bonus is not None:
+            return self.stop_codon_bonus
+        return 6.0 if self.allow_indels else 9.0
 
 
 @dataclasses.dataclass
@@ -369,7 +386,7 @@ def _precompute_scores(codes: jnp.ndarray, p: GenePredParams,
     )
     # + strand: gene closes entering NC at i; its stop codon ENDS at i-1
     is_stop_end = (codon[..., None] == stop_ids[None, None, :]).any(-1)
-    stop_bonus = bonus(jnp.roll(is_stop_end, 1, axis=1), p.stop_codon_bonus)
+    stop_bonus = bonus(jnp.roll(is_stop_end, 1, axis=1), p.stop_bonus)
     # - strand: gene opens (leftmost + position i) with the minus-strand
     # STOP codon occupying (i, i+1, i+2): read 5'->3' on minus it is
     # revcomp(c[i+2], c[i+1], c[i])
@@ -378,7 +395,7 @@ def _precompute_scores(codes: jnp.ndarray, p: GenePredParams,
     )
     rev_begin_bonus = bonus(
         (rcod_start[..., None] == stop_ids[None, None, :]).any(-1) & ~fwd_bad,
-        p.stop_codon_bonus,
+        p.stop_bonus,
     )
     # - strand: gene closes entering NC at i; its minus START codon is the
     # rcodon ENDING at i-1

@@ -24,16 +24,20 @@ TPU-native formulation:
     sequence (interval union, so overlapping chains never double-count).
 
 skani's learned regression correction (superani.rs:107,129-131
-regression::{get_model,predict_from_ani_res}) is exposed as a hook:
-`AniRegression.load(path)` reads a JSON coefficient file and post-corrects
-(ani, af) predictions; the default model is the identity (raw chained
-seed-identity ANI), which is exact on clean mutation ladders.
+regression::{get_model,predict_from_ani_res}): `AniRegression.load(path)`
+reads a JSON coefficient file and post-corrects (ani, af) predictions.
+The superani CLI applies the bundled fitted model by default (like the
+reference, which always applies regression::get_model); pass
+`--model none` for the raw chained seed-identity ANI, which is exact on
+clean point-mutation ladders.  SeedChainer constructed directly defaults
+to identity.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -59,26 +63,51 @@ class SeedSketch:
 
 
 class AniRegression:
-    """Post-correction hook in the role of skani's learned regression
-    model (superani.rs:107,129-131).  Coefficients live in a JSON file:
-    {"intercept": b, "ani": w1, "af": w2} predicting corrected ANI from
-    (raw_ani, mean_af); absent file -> identity."""
+    """Debiasing correction in the role of skani's learned regression
+    model (superani.rs:107,129-131: regression::get_model(c, true) is
+    ALWAYS applied by the reference).  Coefficients live in a JSON file —
+    either one linear map {"intercept": b, "ani": w1, "af": w2} over
+    (raw_ani, mean_af), or the piecewise form {"split": s, "segments":
+    [low, high]} with one linear map per raw-ANI segment.
 
-    def __init__(self, intercept: float = 0.0, w_ani: float = 1.0, w_af: float = 0.0):
-        self.intercept = intercept
-        self.w_ani = w_ani
-        self.w_af = w_af
+    The bundled default (models/data/ani_regression_default.json) was fit
+    by scripts/fit_ani_regression.py on synthetic ladders spanning
+    80-100% ANI x {clean, fragmented, rearranged} genome pairs; fit
+    quality is recorded in ANI_REGRESSION_FIT.json.  `load(None)` returns
+    it; `load("none")` returns the identity (raw chained seed-identity
+    ANI, exact on clean mutation ladders)."""
+
+    DEFAULT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "data", "ani_regression_default.json")
+
+    def __init__(self, segments=None, split: float = float("inf")):
+        # identity default: one segment, w_ani=1
+        self.split = split
+        self.segments = segments or [(0.0, 1.0, 0.0)]
+
+    @classmethod
+    def identity(cls) -> "AniRegression":
+        return cls()
 
     @classmethod
     def load(cls, path: Optional[str]) -> "AniRegression":
-        if not path:
+        if path is None:
+            path = cls.DEFAULT_PATH if os.path.exists(cls.DEFAULT_PATH) else ""
+        if not path or path == "none":
             return cls()
         with open(path) as f:
             d = json.load(f)
-        return cls(d.get("intercept", 0.0), d.get("ani", 1.0), d.get("af", 0.0))
+        if "segments" in d:
+            segs = [(s.get("intercept", 0.0), s.get("ani", 1.0),
+                     s.get("af", 0.0)) for s in d["segments"]]
+            return cls(segs, float(d.get("split", float("inf"))))
+        return cls([(d.get("intercept", 0.0), d.get("ani", 1.0),
+                     d.get("af", 0.0))])
 
     def predict(self, ani: float, af: float) -> float:
-        out = self.intercept + self.w_ani * ani + self.w_af * af
+        i = 0 if (ani < self.split or len(self.segments) == 1) else 1
+        b, w_ani, w_af = self.segments[i]
+        out = b + w_ani * ani + w_af * af
         return float(min(max(out, 0.0), 100.0))
 
 

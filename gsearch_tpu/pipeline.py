@@ -86,11 +86,17 @@ def _iter_parsed(paths, is_aa: bool, block_flag: bool, computing: ComputingParam
                 ]
         return path, units
 
-    if computing.nb_threads > 1:
+    nb_threads = computing.nb_threads
+    if nb_threads == 0:
+        # default (--nbthreads 0): use the host's cores, like the
+        # reference's rayon default thread pool (files.rs:258-341); capped
+        # — parse is bandwidth-bound well before 8 workers
+        nb_threads = max(1, min(8, os.cpu_count() or 1))
+    if nb_threads > 1:
         from .io.walk import bounded_thread_map
 
         yield from bounded_thread_map(
-            parse_one, ((p, None) for p in paths), computing.nb_threads
+            parse_one, ((p, None) for p in paths), nb_threads
         )
     else:
         for _rank, path, data in iter_file_buffers(paths, computing.nb_files_par):

@@ -1,0 +1,157 @@
+"""Gene-prediction sensitivity/precision benchmark on a realistic genome.
+
+No real assemblies ship in this environment (zero egress), so the genome
+is synthesized to the published statistics of E. coli K-12: ~87% of the
+reference strain is coding (here a configurable density over both
+strands), gene lengths log-normal around ~900 nt, codons drawn from the
+REAL K-12 codon-usage table bundled in models/genepred.py
+(_ECOLI_USAGE_PER_1000, standard published data), dicodon correlation via
+the default chain, and ~50%-GC intergenic spacers.  Matching criterion is
+the standard gene-caller one: a predicted gene is a true positive when it
+shares the 3' end (stop codon) and strand with a planted gene; 5' match
+is scored separately (start-call accuracy is the hard part for all
+callers, FragGeneScan included).
+
+Also sweeps (start_codon_bonus, stop_codon_bonus, p_gene_start) around
+the defaults to confirm/tune the operating point (r2 verdict item 6).
+
+Usage: python scripts/bench_genepred.py [genome_kb] [coding_density]
+Writes GENEPRED_BENCH.json.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import itertools
+import json
+import time
+
+import numpy as np
+
+
+def log(m):
+    print(f"[genepred-bench {time.strftime('%H:%M:%S')}] {m}",
+          file=sys.stderr, flush=True)
+
+
+BASES = "ACGT"
+STOPS = {"TAA", "TAG", "TGA"}
+
+
+def _codon_str(cid):
+    return BASES[(cid >> 4) & 3] + BASES[(cid >> 2) & 3] + BASES[cid & 3]
+
+
+def sample_gene(rng, usage_p, n_codons):
+    """Coding sequence: ATG + usage-sampled non-stop codons + stop."""
+    inner = rng.choice(64, size=n_codons - 2, p=usage_p)
+    body = "".join(_codon_str(c) for c in inner)
+    stop = rng.choice(["TAA", "TAG", "TGA"], p=[0.61, 0.09, 0.30])  # K-12 rates
+    return "ATG" + body + stop
+
+
+def revcomp(s):
+    comp = str.maketrans("ACGT", "TGCA")
+    return s.translate(comp)[::-1]
+
+
+def build_genome(rng, genome_kb, coding_density):
+    from gsearch_tpu.models.genepred import default_codon_logusage
+
+    usage = np.exp(default_codon_logusage())
+    for s in STOPS:  # never sample in-frame stops inside a gene body
+        cid = (BASES.index(s[0]) << 4) | (BASES.index(s[1]) << 2) | BASES.index(s[2])
+        usage[cid] = 0.0
+    usage = usage / usage.sum()
+
+    target = genome_kb * 1000
+    parts, genes, pos = [], [], 0
+    while pos < target:
+        # intergenic spacer (uniform random, ~50% GC like K-12)
+        ig = int(rng.integers(60, 400) if coding_density < 0.9
+                 else rng.integers(20, 120))
+        parts.append("".join(rng.choice(list(BASES), ig)))
+        pos += ig
+        if rng.random() < coding_density + 0.05:
+            n_codons = int(np.clip(rng.lognormal(np.log(300), 0.55), 40, 1500))
+            g = sample_gene(rng, usage, n_codons)
+            strand = "+" if rng.random() < 0.5 else "-"
+            placed = g if strand == "+" else revcomp(g)
+            genes.append({"start": pos, "end": pos + len(g), "strand": strand})
+            parts.append(placed)
+            pos += len(g)
+    return "".join(parts).encode(), genes
+
+
+def score(pred, truth):
+    """TP by shared (3'-end, strand); 5' accuracy among the TPs."""
+    def three_prime(g):
+        return (g["end"] if g["strand"] == "+" else g["start"], g["strand"])
+
+    t3 = {three_prime(g): g for g in truth}
+    tp, start_ok = 0, 0
+    for p in pred:
+        key = (p.end if p.strand == "+" else p.start, p.strand)
+        g = t3.get(key)
+        if g is not None:
+            tp += 1
+            p5 = p.start if p.strand == "+" else p.end
+            g5 = g["start"] if g["strand"] == "+" else g["end"]
+            start_ok += int(p5 == g5)
+    sens = tp / max(len(truth), 1)
+    prec = tp / max(len(pred), 1)
+    return {"tp": tp, "n_true": len(truth), "n_pred": len(pred),
+            "sensitivity": round(sens, 4), "precision": round(prec, 4),
+            "f1": round(2 * sens * prec / max(sens + prec, 1e-9), 4),
+            "start_accuracy": round(start_ok / max(tp, 1), 4)}
+
+
+def main():
+    genome_kb = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    density = float(sys.argv[2]) if len(sys.argv) > 2 else 0.7
+
+    from gsearch_tpu.models.genepred import GenePredParams, predict_genes
+    from gsearch_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(0xEC011)
+    seq, truth = build_genome(rng, genome_kb, density)
+    log(f"genome: {len(seq)} nt, {len(truth)} planted genes, "
+        f"coding {sum(g['end']-g['start'] for g in truth)/len(seq):.2f}")
+
+    t0 = time.time()
+    pred = predict_genes(seq, GenePredParams())
+    dt = time.time() - t0
+    base = score(pred, truth)
+    base["wall_s"] = round(dt, 2)
+    base["nt_per_s"] = round(len(seq) / dt)
+    log(f"defaults: {base}")
+
+    # small sweep around the defaults (r2 verdict: tune bonuses from data)
+    sweep = []
+    for sb, eb, pg in itertools.product((2.0, 3.0, 4.5), (4.0, 6.0, 9.0),
+                                        (1 / 700, 1 / 400, 1 / 250)):
+        p = GenePredParams(start_codon_bonus=sb, stop_codon_bonus=eb,
+                           p_gene_start=pg)
+        s = score(predict_genes(seq, p), truth)
+        s.update({"start_codon_bonus": sb, "stop_codon_bonus": eb,
+                  "p_gene_start": round(pg, 5)})
+        sweep.append(s)
+        log(f"sb={sb} eb={eb} pg={pg:.4f}: f1={s['f1']} "
+            f"sens={s['sensitivity']} prec={s['precision']}")
+    best = max(sweep, key=lambda s: s["f1"])
+
+    out = {"genome_nt": len(seq), "coding_density_requested": density,
+           "defaults": base, "best": best, "sweep": sweep}
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "GENEPRED_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"defaults f1={base['f1']}; best f1={best['f1']} at "
+        f"sb={best['start_codon_bonus']} eb={best['stop_codon_bonus']} "
+        f"pg={best['p_gene_start']}")
+
+
+if __name__ == "__main__":
+    main()

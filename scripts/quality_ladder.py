@@ -78,10 +78,48 @@ def main():
                 log(f"{tag} {algo} rate={rate}: dist={dist:.4f} "
                     f"ANI P={a1:.2f} B={a2:.2f} true={true_ani:.2f}")
     worst = max(abs(r["err_binomial"]) for r in rows)
-    out = {"k": k, "s": s, "worst_abs_err_binomial": worst, "rows": rows}
+
+    # superani (seed-chain) section: fragmented / rearranged pairs with
+    # the bundled regression correction vs raw (r2 verdict item 5).
+    # Held-out seed — the bundled model was fit with a different stream.
+    from gsearch_tpu.models.seedchain import AniRegression, SeedChainer
+    from scripts.fit_ani_regression import fragment, mutate, rearrange
+
+    sa_rows = []
+    rng2 = np.random.default_rng(0x8E1D)
+    chainer_raw = SeedChainer(k=16, c=30)
+    chainer_fit = SeedChainer(k=16, c=30, regression=AniRegression.load(None))
+    base = rng2.integers(0, 4, 400_000).astype(np.uint8)
+    r_sk = chainer_raw.sketch(base)
+    for true_ani in (0.85, 0.92, 0.97, 0.995):
+        for scen in ("clean", "fragmented", "rearranged", "frag+rearr"):
+            q = mutate(rng2, base, 1.0 - true_ani)
+            if "frag" in scen:
+                q = fragment(rng2, q)
+            if "rearr" in scen:
+                q = rearrange(rng2, q)
+            q_sk = chainer_raw.sketch(q)
+            raw, afq, afr = chainer_raw.compare(q_sk, r_sk)
+            fit, _, _ = chainer_fit.compare(q_sk, r_sk)
+            sa_rows.append({
+                "scenario": scen, "true_ani": round(100 * true_ani, 2),
+                "raw": round(raw, 3), "corrected": round(fit, 3),
+                "af": round(0.5 * (afq + afr), 3),
+                "err_raw": round(raw - 100 * true_ani, 3),
+                "err_corrected": round(fit - 100 * true_ani, 3),
+            })
+            log(f"superani {scen:>11} true={100*true_ani:6.2f} raw={raw:6.2f}"
+                f" corrected={fit:6.2f}")
+    worst_sa = max(abs(r["err_corrected"]) for r in sa_rows)
+
+    out = {"k": k, "s": s, "worst_abs_err_binomial": worst, "rows": rows,
+           "superani_fragmented_rearranged": sa_rows,
+           "superani_worst_abs_err_corrected": worst_sa}
     with open("LADDER_QUALITY.json", "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"worst_abs_err_binomial": worst, "n_rows": len(rows)}))
+    print(json.dumps({"worst_abs_err_binomial": worst,
+                      "superani_worst_abs_err_corrected": worst_sa,
+                      "n_rows": len(rows) + len(sa_rows)}))
 
 
 if __name__ == "__main__":

@@ -216,7 +216,11 @@ def test_indel_states_recover_frameshifted_gene():
     params.allow_indels = True
     fixed = predict_genes(corrupted, params)
     assert called_fraction(fixed) > 0.9, f"indel mode called {called_fraction(fixed):.2f}"
-    assert called_fraction(fixed) >= called_fraction(base)
+    # without indel states the frameshift splits the gene: high coverage
+    # is possible (two truncated pieces) but no single full-length protein
+    base_best = max((len(g.aa) for g in base), default=0)
+    assert base_best < 150, (
+        f"frameshifted gene yielded {base_best} aa without indel states")
     # the corrected CDS skips the inserted base: full-length in-frame
     # protein, no internal stops (predict_genes already rejects those)
     best = max(fixed, key=lambda g: g.end - g.start)

@@ -135,7 +135,13 @@ def test_seedchain_partial_overlap_af(rng):
 def test_ani_regression_hook(tmp_path):
     from gsearch_tpu.models.seedchain import AniRegression
 
-    assert AniRegression.load(None).predict(97.0, 0.8) == 97.0
+    # "none" is the explicit identity; load(None) resolves to the bundled
+    # fitted model (applied by default, like skani's regression)
+    assert AniRegression.load("none").predict(97.0, 0.8) == 97.0
+    bundled = AniRegression.load(None)
+    # the fitted correction is a debias, not a rescale: within half an
+    # ANI point of raw in the calibrated range
+    assert abs(bundled.predict(97.0, 0.8) - 97.0) < 0.5
     p = tmp_path / "model.json"
     p.write_text('{"intercept": 1.0, "ani": 0.99, "af": 0.5}')
     m = AniRegression.load(str(p))
