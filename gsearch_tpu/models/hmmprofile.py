@@ -17,19 +17,19 @@ D[j-1]+tDD) — a max-plus prefix recurrence along j, computed as a
 delete-run cost), so no inner loop survives.  Profiles of different
 lengths pad to one [H, Lmax] block and vmap; sequences bucket by length.
 
-Scoring model (documented deviations from HMMER3)
--------------------------------------------------
-* uni-local Plan7 (one domain per sequence): entry t(B->Mk) =
-  2(L-k+1)/(L(L+1)), exit t(Mk->E) = 1, insert log-odds 0 — HMMER3's
-  local configuration.  HMMER's default is MULTIHIT local; for single-
-  domain hits the difference is a ~1-2 bit constant.
-* flanking N/C residues score 0 (background) with no loop penalty and no
-  null1 length correction — these nearly cancel; net effect is a few
-  bits on long targets.
-* E-values use the profile's calibrated `STATS LOCAL VITERBI tau lambda`
-  Gumbel right tail: P = exp(-lambda (bits - tau)), E = P * n_targets.
-Scores therefore track HMMER within a few bits — enough to rank hits and
-apply the GA gathering cutoffs stored in the profiles.
+Scoring model
+-------------
+HMMER3's default configuration exactly (multihit local Plan7 with the
+length-dependent N/J/C loop model and null1 subtraction — p7_ProfileConfig
++ p7_ReconfigLength, Eddy 2011): entry t(B->Mk) = 2(L-k+1)/(L(L+1)), exit
+t(Mk->E) = 1, insert log-odds 0, N/J/C self-loops log(L/(L+2)), moves
+log(2/(L+2)), E->{J,C} log(1/2).  scripts/hmmsearch_fidelity.py verifies
+bit scores against an independent float64 oracle on the real GTDB marker
+profiles (residual = float32 rounding).  Documented deviations from the
+full hmmsearch pipeline: Viterbi scores only (no Forward rescoring) and
+no null2 biased-composition correction.  E-values use the profile's
+calibrated `STATS LOCAL VITERBI tau lambda` Gumbel right tail:
+P = exp(-lambda (bits - tau)), E = P * n_targets.
 """
 
 from __future__ import annotations
@@ -180,13 +180,25 @@ def _pack_profiles(profiles: Sequence[ProfileHMM]):
     return jnp.asarray(msc), jnp.asarray(tr), jnp.asarray(tbm)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _viterbi_block(msc, tr, tbm, seqs, lens):
-    """Uni-local Plan7 Viterbi.
+@functools.partial(jax.jit, static_argnames=("multihit",))
+def _viterbi_block(msc, tr, tbm, seqs, lens, multihit=True):
+    """Local Plan7 Viterbi with HMMER3's full length model.
 
     msc [H, L+1, 20], tr [H, L+1, 7], tbm [H, L+1], seqs [B, T] int32
     (aa index, any value for pads — masked by lens), lens [B].
-    Returns best log-odds score (nats) [H, B]."""
+    Returns bit-score numerator (nats) [H, B]: viterbi - null1.
+
+    This is HMMER3's default scoring semantics exactly (p7_ProfileConfig
+    multihit local + p7_ReconfigLength, Eddy 2011): the special states
+    N/B/E/J/C ride along the residue scan as scalars per (profile, seq).
+    N is deterministic (xN(i) = i*loop) so it travels as the position
+    index; J and C are carried.  Per residue, N/J/C self-loops cost
+    loop = log(L/(L+2)), every B entry pays move = log(2/(L+2)), E->J
+    and E->C cost log(1/2) (multihit) or 0/-inf (unihit), the final C->T
+    pays move once more, and null1 = L log(L/(L+1)) + log(1/(L+1)) is
+    subtracted.  scripts/hmmsearch_fidelity.py verifies the result
+    against an independent float64 oracle on the real GTDB marker
+    profiles (residual = float32 rounding only)."""
     Hn, Lp1, _ = msc.shape
     tMM, tMI, tMD = tr[..., 0], tr[..., 1], tr[..., 2]
     tIM, tII = tr[..., 3], tr[..., 4]
@@ -202,15 +214,25 @@ def _viterbi_block(msc, tr, tbm, seqs, lens):
     neg = jnp.float32(-1e30)
     B = seqs.shape[0]
 
+    log_ej = jnp.float32(math.log(0.5)) if multihit else neg  # E->J
+    log_ec = jnp.float32(math.log(0.5) if multihit else 0.0)  # E->C
+    Lf = jnp.maximum(lens.astype(jnp.float32), 1.0)
+    loop = jnp.log(Lf / (Lf + 2.0))                       # [B] N/J/C self
+    move = jnp.log(2.0 / (Lf + 2.0))                      # [B] ->B / C->T
+    null1 = Lf * jnp.log(Lf / (Lf + 1.0)) + jnp.log(1.0 / (Lf + 1.0))
+
     def step(carry, xi):
-        M, I, D, bestE = carry  # [H, B, L+1] x3, [H, B]
-        x, alive = xi           # [B] int32, [B] bool
+        M, I, D, J, C = carry      # [H, B, L+1] x3, [H, B] x2
+        x, alive, t = xi           # [B] int32, [B] bool, scalar int32
         em = msc[:, :, :].transpose(0, 2, 1)  # [H, 20, L+1]
         em_x = em[:, x, :]                    # [H, B, L+1]
+        xN_prev = t.astype(jnp.float32) * loop           # [B] N after t loops
+        b_prev = move[None, :] + jnp.maximum(xN_prev[None, :], J)
         cand = jnp.maximum(
             jnp.maximum(shift1(M) + tMMs[:, None, :],
                         shift1(I) + tIMs[:, None, :]),
-            jnp.maximum(shift1(D) + tDMs[:, None, :], tbm[:, None, :]),
+            jnp.maximum(shift1(D) + tDMs[:, None, :],
+                        tbm[:, None, :] + b_prev[:, :, None]),
         )
         Mn = em_x + cand
         Mn = jnp.maximum(Mn, neg)  # keep -inf out of the cummax chain
@@ -219,26 +241,32 @@ def _viterbi_block(msc, tr, tbm, seqs, lens):
         Dn = shift1(jax.lax.cummax(g, axis=2)) + shift1(cdd)[:, None, :]
         In = jnp.maximum(M + tMI[:, None, :], I + tII[:, None, :])
         e_i = jnp.max(Mn, axis=2)  # exit t(Mk->E) = 1 (local)
-        bestE = jnp.where(alive[None, :], jnp.maximum(bestE, e_i), bestE)
+        Jn = jnp.where(alive[None, :],
+                       jnp.maximum(J + loop[None, :], e_i + log_ej), J)
+        Cn = jnp.where(alive[None, :],
+                       jnp.maximum(C + loop[None, :], e_i + log_ec), C)
         keep = alive[None, :, None]
         return (jnp.where(keep, Mn, M), jnp.where(keep, In, I),
-                jnp.where(keep, Dn, D), bestE), None
+                jnp.where(keep, Dn, D), Jn, Cn), None
 
     M0 = jnp.full((Hn, B, Lp1), neg, jnp.float32)
-    alive = (jnp.arange(seqs.shape[1])[None, :] < lens[:, None])
-    (_, _, _, bestE), _ = jax.lax.scan(
-        step, (M0, M0, M0, jnp.full((Hn, B), neg, jnp.float32)),
-        (seqs.T, alive.T))
-    return bestE
+    T = seqs.shape[1]
+    alive = (jnp.arange(T)[None, :] < lens[:, None])
+    (_, _, _, _, bestC), _ = jax.lax.scan(
+        step, (M0, M0, M0, jnp.full((Hn, B), neg, jnp.float32),
+               jnp.full((Hn, B), neg, jnp.float32)),
+        (seqs.T, alive.T, jnp.arange(T, dtype=jnp.int32)))
+    return bestC + move[None, :] - null1[None, :]
 
 
 class HmmSearcher:
     """Batched search of protein sequences against a set of profiles."""
 
-    def __init__(self, profiles: Sequence[ProfileHMM]):
+    def __init__(self, profiles: Sequence[ProfileHMM], multihit: bool = True):
         if not profiles:
             raise ValueError("no profiles given")
         self.profiles = list(profiles)
+        self.multihit = multihit  # HMMER3 default config; False = uni-local
         self._msc, self._tr, self._tbm = _pack_profiles(self.profiles)
 
     @staticmethod
@@ -270,7 +298,7 @@ class HmmSearcher:
             ln[:bb] = lens[np.asarray(take)]
             nats = np.asarray(_viterbi_block(
                 self._msc, self._tr, self._tbm,
-                jnp.asarray(block), jnp.asarray(ln)))
+                jnp.asarray(block), jnp.asarray(ln), multihit=self.multihit))
             out[:, np.asarray(take)] = nats[:, :bb]
         return out / np.float32(math.log(2.0))  # nats -> bits
 
