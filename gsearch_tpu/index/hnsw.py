@@ -231,6 +231,14 @@ def _as_u32(x: np.ndarray) -> np.ndarray:
     return x.astype(np.uint32)
 
 
+def _pad_cols_ones(q, spad: int):
+    """Device column-pad with 1s (db column pads are 0: never equal)."""
+    if q.shape[1] >= spad:
+        return q
+    return jnp.concatenate(
+        [q, jnp.ones((q.shape[0], spad - q.shape[1]), jnp.uint32)], axis=1)
+
+
 class HnswIndex:
     KIND = "hnsw"
 
@@ -886,77 +894,19 @@ class HnswIndex:
 
             return bucketed_knn(queries, self._sigs, knbn)
 
-        nb = _next_pow2(n)
-        sp = self.search_prefix
+        # one staging upload; every query form (beam prefix, rerank pads,
+        # packed hashes) derives on device in search_device
         qb = _next_pow2(nq, floor=8)
-        q_p = np.full((qb, sp), 0xFFFFFFFF, np.uint32)
-        q_p[:nq] = _as_u32(queries[:, :sp])
-
-        ef = max(ef_search or self.DEFAULT_EF, knbn)
-        ef_round = _round_up(min(ef, nb), 64)
-        expand = self.EXPAND
-        hops = max(8, int(2 * math.log2(nb)) + ef_round // expand)
-        no_rerank = sp >= self.sketch_size
-        r = knbn if no_rerank else min(_round_up(max(4 * knbn, 32), 8), ef_round)
-
-        coarse = None
-        if (jax.default_backend() == "tpu" and n >= self.COARSE_MIN
-                and not os.environ.get("GSEARCH_TPU_FORCE_BEAM")):
-            coarse = self._coarse_searcher()
-        if coarse is not None:
-            dp, ids = coarse.search_device(
-                jnp.asarray(q_p), knbn=knbn if no_rerank else r)
-        else:
-            sigs_p, nbrs_p, entries = self._device_arrays()
-            dp, ids = _graph_search(
-                sigs_p, nbrs_p, entries, jnp.asarray(q_p), jnp.int32(n),
-                ef=ef_round, r=r, hops=hops, expand=expand,
-                gather_impl=_beam_gather_impl(sp, qb),
-            )
-        if no_rerank:
-            return np.asarray(dp)[:nq], np.asarray(ids)[:nq]
-
-        full_bytes = (_next_pow2(n) + 1) * _round_up(self.sketch_size, 1024) * 4
-        if (full_bytes <= _RERANK_DEVICE_BYTES
-                and not os.environ.get("GSEARCH_TPU_FORCE_PACKED_RERANK")):
-            spad = _round_up(self.sketch_size, 1024)
-            q_full = np.ones((qb, spad), np.uint32)
-            q_full[:nq, : self.sketch_size] = _as_u32(queries)
-            q_full[:, self.sketch_size:] = 1  # != db column pads (0)
-            full = self._device_full_sigs()
-            d, ids2 = _rerank_device(
-                full, jnp.asarray(q_full), ids, jnp.int32(n),
-                knbn=knbn, s_true=self.sketch_size,
-                use_pallas=jax.default_backend() == "tpu",
-            )
-            return np.asarray(d)[:nq], np.asarray(ids2)[:nq]
-
-        # packed tier: the full matrix exceeds HBM, but a 16-bit-hash
-        # representation over the first w slots (half the bytes per slot,
-        # subsampled when needed) may fit — device rerank at hash
-        # granularity instead of the host gather (e.g. 524k x 12000:
-        # w=8192 is 8.6 GB; distances gain sampling noise ~0.5% and
-        # collision bias 2^-16/slot, both << typical neighbor gaps)
-        from ..ops.mxu import _pack_hash16
-
-        w_budget = int(0.7 * _RERANK_DEVICE_BYTES) // (2 * (_next_pow2(n) + 1))
-        w = min(w_budget // 2048 * 2048, _round_up(self.sketch_size, 2048))
-        if w >= 2048 and w > sp:
-            wq = min(w, self.sketch_size)
-            packed = self._device_packed_sigs(w)
-            q_pk = np.asarray(jnp.asarray(_pack_hash16(
-                jnp.asarray(_as_u32(np.ascontiguousarray(queries[:, :wq]))),
-                spad=w, pad_val=1)).reshape(nq, w // 2))
-            q_buf = np.ones((qb, w // 2), np.uint32)
-            q_buf[:nq] = q_pk
-            d, ids2 = _rerank_device(
-                packed, jnp.asarray(q_buf), ids, jnp.int32(n),
-                knbn=knbn, s_true=wq,
-                use_pallas=jax.default_backend() == "tpu", halves=True,
-            )
-            return np.asarray(d)[:nq], np.asarray(ids2)[:nq]
+        qbuf = np.full((qb, self.sketch_size), 0xFFFFFFFF, np.uint32)
+        qbuf[:nq] = _as_u32(queries)
+        need_host_rerank = self._host_rerank_needed()
+        d, ids = self.search_device(jnp.asarray(qbuf), knbn, ef_search,
+                                    rerank=not need_host_rerank)
+        if not need_host_rerank:
+            return np.asarray(d)[:nq], np.asarray(ids)[:nq]
 
         # host rerank: numpy gather from the resident signature matrix
+        # (no device tier fits; candidates came back at prefix precision)
         ids_h = np.asarray(ids)[:nq]
         qs = _as_u32(queries)
         sigs = _as_u32(self._sigs)
@@ -971,6 +921,98 @@ class HnswIndex:
             np.take_along_axis(dsel, o, axis=1),
             np.take_along_axis(np.take_along_axis(ids_h, sel, axis=1), o, axis=1),
         )
+
+    def _rerank_tier(self) -> tuple:
+        """(kind, width): which device rerank tier fits HBM at this N x S.
+
+        "full" = exact equal-count on the whole signature; "packed" =
+        16-bit slot hashes over the first w slots (half the bytes,
+        collision bias 2^-16/slot — e.g. 524k x 12000: w=8192 is 8.6 GB);
+        "host" = nothing fits, candidates rerank on the host."""
+        n = self.nb_points
+        sp = self.search_prefix
+        full_bytes = (_next_pow2(n) + 1) * _round_up(self.sketch_size, 1024) * 4
+        if (full_bytes <= _RERANK_DEVICE_BYTES
+                and not os.environ.get("GSEARCH_TPU_FORCE_PACKED_RERANK")):
+            return "full", self.sketch_size
+        w_budget = int(0.7 * _RERANK_DEVICE_BYTES) // (2 * (_next_pow2(n) + 1))
+        w = min(w_budget // 2048 * 2048, _round_up(self.sketch_size, 2048))
+        if w >= 2048 and w > sp:
+            return "packed", w
+        return "host", 0
+
+    def _host_rerank_needed(self) -> bool:
+        return (self.search_prefix < self.sketch_size
+                and self._rerank_tier()[0] == "host")
+
+    def search_device(
+        self, q_dev, knbn: int, ef_search: int = 0, rerank: bool = True
+    ):
+        """Device-resident search: q_dev is a [Qb, sketch_size] uint32 (or
+        f32-bitcast) array already on device, Qb a power of two >= 8.
+
+        Returns DEVICE arrays (distances [Qb, k], ids [Qb, k]) — no host
+        round trip, so callers whose queries are already on device (the
+        sketch pipeline's output, the kgraph self-sweep, benchmarks
+        measuring chip throughput rather than relay bandwidth) avoid the
+        per-call staging upload entirely.  With rerank=False, returns the
+        candidate list at prefix precision for the caller to rerank."""
+        n = self.nb_points
+        nb = _next_pow2(n)
+        sp = self.search_prefix
+        qb = q_dev.shape[0]
+        q_u32 = q_dev if q_dev.dtype == jnp.uint32 else q_dev.view(jnp.uint32)
+        q_p = q_u32[:, :sp]
+
+        ef = max(ef_search or self.DEFAULT_EF, knbn)
+        ef_round = _round_up(min(ef, nb), 64)
+        expand = self.EXPAND
+        hops = max(8, int(2 * math.log2(nb)) + ef_round // expand)
+        no_rerank = sp >= self.sketch_size
+        r = knbn if no_rerank else min(_round_up(max(4 * knbn, 32), 8), ef_round)
+
+        coarse = None
+        if (jax.default_backend() == "tpu" and n >= self.COARSE_MIN
+                and not os.environ.get("GSEARCH_TPU_FORCE_BEAM")):
+            coarse = self._coarse_searcher()
+        if coarse is not None:
+            dp, ids = coarse.search_device(
+                q_p, knbn=knbn if no_rerank else r)
+        else:
+            sigs_p, nbrs_p, entries = self._device_arrays()
+            dp, ids = _graph_search(
+                sigs_p, nbrs_p, entries, q_p, jnp.int32(n),
+                ef=ef_round, r=r, hops=hops, expand=expand,
+                gather_impl=_beam_gather_impl(sp, qb),
+            )
+        if no_rerank or not rerank:
+            return dp, ids
+
+        kind, w = self._rerank_tier()
+        if kind == "full":
+            spad = _round_up(self.sketch_size, 1024)
+            # column pads 1 != db column pads 0: never an equal slot
+            q_full = _pad_cols_ones(q_u32, spad)
+            full = self._device_full_sigs()
+            return _rerank_device(
+                full, q_full, ids, jnp.int32(n),
+                knbn=knbn, s_true=self.sketch_size,
+                use_pallas=jax.default_backend() == "tpu",
+            )
+        if kind == "packed":
+            from ..ops.mxu import _pack_hash16
+
+            wq = min(w, self.sketch_size)
+            packed = self._device_packed_sigs(w)
+            q_pk = _pack_hash16(q_u32[:, :wq], spad=w,
+                                pad_val=1).reshape(qb, w // 2)
+            return _rerank_device(
+                packed, q_pk, ids, jnp.int32(n),
+                knbn=knbn, s_true=wq,
+                use_pallas=jax.default_backend() == "tpu", halves=True,
+            )
+        raise ValueError(
+            "no device rerank tier fits; use search() (host rerank)")
 
     # ------------------------------------------------------------------ io
 

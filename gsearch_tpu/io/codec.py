@@ -61,3 +61,49 @@ def decode_dna(codes: np.ndarray) -> bytes:
     valid = codes < 4
     out[valid] = _DNA_DECODE[codes[valid]]
     return out.tobytes()
+
+
+class PackedCodes:
+    """A DNA code row in the device upload form: 2-bit-packed codes
+    (4/byte) plus the positions of invalid codes (record separators, Ns).
+
+    This is exactly the "exception form" the sketchers upload
+    (models/base.py), produced directly by the fused native parser
+    (native/fastaparse.cpp fasta_concat_pack2) without ever
+    materializing a 1 B/base code array — the 1-core ingest host is
+    memory-bandwidth-bound, so skipping that intermediate is the
+    difference between ~4 and ~2 passes over every base."""
+
+    __slots__ = ("p2", "n", "inv")
+
+    def __init__(self, p2: np.ndarray, n: int, inv: np.ndarray):
+        self.p2 = p2       # uint8 [>= ceil(n/4)]
+        self.n = int(n)    # codes in the row, separators included
+        self.inv = inv     # int32 sorted positions of invalid codes
+
+    def __len__(self) -> int:
+        return self.n
+
+    def to_codes(self) -> np.ndarray:
+        """Unpack to the 1 B/base code form (fallback paths only)."""
+        m = (self.n + 3) // 4
+        b = self.p2[:m]
+        c = np.empty(4 * m, np.uint8)
+        c[0::4] = b & 3
+        c[1::4] = (b >> 2) & 3
+        c[2::4] = (b >> 4) & 3
+        c[3::4] = (b >> 6) & 3
+        c = c[: self.n]
+        c[self.inv[self.inv < self.n]] = DNA_INVALID
+        return c
+
+    def piece(self, start: int, length: int) -> "PackedCodes":
+        """Zero-copy slice [start, start+length) — start must be a
+        multiple of 4 so the byte view stays aligned."""
+        assert start % 4 == 0
+        end = min(start + length, self.n)
+        inv = self.inv[(self.inv >= start) & (self.inv < end)]
+        return PackedCodes(
+            self.p2[start // 4 : (end + 3) // 4], end - start,
+            (inv - start).astype(np.int32),
+        )

@@ -185,6 +185,28 @@ def concat_file_codes(
     return np.concatenate(parts), first_id, total
 
 
+def concat_file_codes_packed(
+    path: str, is_aa: bool = False, min_seq_size: int = 0, data: bytes | None = None
+):
+    """One-block mode via the fused native parse+pack: returns
+    (PackedCodes | codes ndarray, first_fasta_id, total_bases).
+
+    DNA files parse directly into the device upload form (2-bit packed +
+    invalid positions) without a 1 B/base intermediate; AA files, missing
+    native lib, or N-run-heavy files (exception-budget overflow) fall back
+    to `concat_file_codes`, whose ndarray the sketchers accept equally."""
+    if is_aa:
+        return concat_file_codes(path, is_aa=True, min_seq_size=min_seq_size, data=data)
+    if data is None:
+        data = read_file_bytes(path)
+    from .native import native_concat_pack2
+
+    res = native_concat_pack2(data, min_seq_size)
+    if res is None:
+        return concat_file_codes(path, is_aa=False, min_seq_size=min_seq_size, data=data)
+    return res
+
+
 def file_records_codes(
     path: str, is_aa: bool = False, min_seq_size: int = 0, data: bytes | None = None
 ) -> List[Tuple[np.ndarray, str]]:

@@ -86,6 +86,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
     except AttributeError:
         pass
+    try:  # fused parse+pack (may be absent in older .so builds)
+        lib.fasta_concat_pack2.restype = ctypes.c_long
+        lib.fasta_concat_pack2.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_long),
+        ]
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
 
@@ -141,6 +153,43 @@ def native_records_codes(
         ident = raw[i * 64 : (i + 1) * 64].split(b"\0", 1)[0].decode("utf-8", "replace")
         result.append((out[o : o + l], ident))
     return result
+
+
+def native_concat_pack2(data: bytes, min_seq_size: int):
+    """Fused one-block parse + 2-bit pack (DNA only): FASTA bytes ->
+    (PackedCodes, first_fasta_id, total_bases), or None when the lib /
+    symbol is absent or the file overflows its invalid-position budget
+    (N-run-heavy; caller falls back to the unfused path)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fasta_concat_pack2"):
+        return None
+    cap = len(data) // 4 + 2
+    p2 = np.empty(cap, dtype=np.uint8)
+    max_exc = max(4096, len(data) // 16)
+    inv = np.empty(max_exc, dtype=np.int32)
+    out_codes = ctypes.c_size_t(0)
+    total = ctypes.c_size_t(0)
+    ninv = ctypes.c_long(0)
+    first_id = ctypes.create_string_buffer(_ID_CAP)
+    kept = lib.fasta_concat_pack2(
+        data, len(data),
+        p2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        inv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_exc,
+        min_seq_size,
+        ctypes.byref(out_codes), first_id, _ID_CAP,
+        ctypes.byref(total), ctypes.byref(ninv),
+    )
+    if kept < 0:
+        return None
+    from .codec import PackedCodes
+
+    if kept == 0:
+        return PackedCodes(np.empty(0, np.uint8), 0, np.empty(0, np.int32)), "", 0
+    return (
+        PackedCodes(p2, int(out_codes.value), inv[: ninv.value].copy()),
+        first_id.value.decode("utf-8", "replace"),
+        int(total.value),
+    )
 
 
 def native_pack2bit_exc(arr: np.ndarray, lens: np.ndarray, max_exc: int):

@@ -85,6 +85,12 @@ class SketcherBase:
     # ones can opt into the quantized packed-payload variant
     USE_PACKED_RACE = False
     USE_PACKED_PAYLOAD_RACE = False
+    #: True when the sketch depends on k-mer MULTIPLICITY (ProbMinHash):
+    #: the fused-packed streaming path slices genome pieces at 4-aligned
+    #: starts, duplicating up to 3 boundary windows per piece — harmless
+    #: for set-semantics races (idempotent min/max), not for counts, so
+    #: multiplicity-sensitive sketchers unpack and take the exact path.
+    MULTIPLICITY_SENSITIVE = False
 
     def __init__(self, params: SeqSketcherParams, seed: int = 0x5EED):
         self.params = params
@@ -331,7 +337,14 @@ class SketcherBase:
     # ProbMinHash multiplicities) raise it
     MAX_BLOCK_LOG2 = _MAX_BLOCK_LOG2
 
-    def _race_codes(self, codes: np.ndarray) -> RaceResult:
+    def _race_codes(self, codes) -> RaceResult:
+        from ..io.codec import PackedCodes
+
+        if isinstance(codes, PackedCodes):
+            if self.is_aa or self._upload_raw:
+                codes = codes.to_codes()  # packed form is DNA-upload-only
+            else:
+                return self._race_packed(codes)
         n = len(codes)
         max_block = 1 << self.MAX_BLOCK_LOG2
         if n <= max_block:
@@ -345,6 +358,39 @@ class SketcherBase:
             r = self._run_block(piece)
             race = r if race is None else self._combine_fn(race, r)
         return race
+
+    def _race_packed(self, pk) -> RaceResult:
+        """Streaming race over a PackedCodes genome (no host unpack)."""
+        max_block = 1 << self.MAX_BLOCK_LOG2
+        if pk.n <= max_block:
+            return self._run_block_packed(pk)
+        if self.MULTIPLICITY_SENSITIVE:
+            # 4-aligned piece starts duplicate up to 3 boundary windows —
+            # exact multiplicities require the unpacked k-1-overlap path
+            return self._race_codes(pk.to_codes())
+        step = max_block - (self.k - 1)
+        step -= step % 4  # keep piece starts byte-aligned in the 2-bit form
+        race = None
+        for start in range(0, pk.n, step):
+            r = self._run_block_packed(pk.piece(start, max_block))
+            race = r if race is None else self._combine_fn(race, r)
+        return race
+
+    def _run_block_packed(self, pk) -> RaceResult:
+        if pk.inv.size > self._MAX_EXC:  # N-run-heavy: bit-plane fallback
+            return self._run_block(pk.to_codes())
+        n_true = pk.n
+        nb = block_length(n_true, self.MAX_BLOCK_LOG2)
+        p2 = np.empty(nb // 4, np.uint8)  # garbage past n_true: masked by lens
+        m = (n_true + 3) // 4
+        p2[:m] = pk.p2[:m]
+        inv = np.full(self._MAX_EXC, nb, np.int32)
+        inv[: pk.inv.size] = pk.inv
+        return self._block_fn(nb)(
+            jnp.asarray(p2[None]),
+            jnp.asarray(np.array([n_true], np.int32)),
+            jnp.asarray(inv[None]),
+        )
 
     def _run_block(self, codes: np.ndarray) -> RaceResult:
         n_true = len(codes)
@@ -386,15 +432,28 @@ class SketcherBase:
         pipeline keep the device busy across flush boundaries
         (reference role: the sketcher thread pool of dnasketch.rs:246-325;
         here the overlap is host-pack/relay-upload vs device compute)."""
+        from ..io.codec import PackedCodes
+
         out = np.empty((len(codes_list), self.nb_slots), dtype=self.SIG_DTYPE)
         ticket = SketchTicket(out)
         max_block = 1 << _MAX_BLOCK_LOG2
+        pack_ok = not (self.is_aa or self._upload_raw)
+        if not pack_ok:  # packed inputs need the raw-code forms
+            codes_list = [
+                c.to_codes() if isinstance(c, PackedCodes) else c
+                for c in codes_list
+            ]
         groups: dict = {}
         for i, codes in enumerate(codes_list):
             if len(codes) > max_block:
                 out[i] = self.sketch_codes(codes)
             else:
-                groups.setdefault(block_length(len(codes)), []).append(i)
+                # fused-parsed genomes batch in their packed form directly
+                # (no unpack, no repack); over-budget exception lists (rare
+                # N-run-heavy files) fall back to the code-array form
+                pk = (isinstance(codes, PackedCodes)
+                      and codes.inv.size <= self._MAX_EXC)
+                groups.setdefault((block_length(len(codes)), pk), []).append(i)
 
         pending = self._inflight
 
@@ -420,7 +479,7 @@ class SketcherBase:
             nd = 1
             put = jnp.asarray
 
-        for nb, idxs in groups.items():
+        for (nb, grp_pk), idxs in groups.items():
             bcap = (1 << self._BATCH_ELEMS_LOG2) // nb
             # round DOWN to a power of two so full batches share one
             # compiled shape with every other bucket-size run
@@ -431,7 +490,24 @@ class SketcherBase:
                 while b < len(chunk):
                     b <<= 1
                 b = min(b, bcap)
-                pack_ok = not (self.is_aa or self._upload_raw)
+                if grp_pk:
+                    # pre-packed rows: memcpy 0.25 B/base straight into the
+                    # exc-form batch — parse already produced upload bytes
+                    p2 = np.empty((b, nb // 4), np.uint8)
+                    lens = np.zeros(b, np.int32)
+                    inv = np.full((b, self._MAX_EXC), nb, np.int32)
+                    for row, i in enumerate(chunk):
+                        g = codes_list[i]
+                        m = (g.n + 3) // 4
+                        p2[row, :m] = g.p2[:m]
+                        lens[row] = g.n
+                        inv[row, : g.inv.size] = g.inv
+                    dev = self._batch_fn(b, nb, "exc")(
+                        put(p2), put(lens), put(inv))
+                    ticket.open_batches += 1
+                    pending.append((ticket, chunk, dev))
+                    drain(limit=self.INFLIGHT)
+                    continue
                 if pack_ok:
                     # exc-form packing masks by per-row length, so padding
                     # (and unused rows) may hold garbage: skip the 32 MB
@@ -441,8 +517,11 @@ class SketcherBase:
                     arr = np.full((b, nb), 255, dtype=np.uint8)
                 lens = np.zeros(b, dtype=np.int32)
                 for row, i in enumerate(chunk):
-                    arr[row, : len(codes_list[i])] = codes_list[i]
-                    lens[row] = len(codes_list[i])
+                    c = codes_list[i]
+                    if isinstance(c, PackedCodes):  # over-budget exc list
+                        c = c.to_codes()
+                    arr[row, : len(c)] = c
+                    lens[row] = len(c)
                 if not pack_ok:
                     form = "raw" if not self.is_aa else "exc"  # key only
                     dev = self._batch_fn(b, nb, form)(put(arr))

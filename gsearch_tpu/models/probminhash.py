@@ -52,6 +52,7 @@ _ARRIVALS = 3
 
 class ProbMinHashSketcher(SketcherBase):
     SIG_DTYPE = np.uint32
+    MULTIPLICITY_SENSITIVE = True  # see SketcherBase: no 4-aligned pieces
 
     arrivals: int = _ARRIVALS
     # Multiplicities are per-piece for streamed (>8 Mb) genomes.  Because

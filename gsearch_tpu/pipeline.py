@@ -28,7 +28,7 @@ from .core.seqdict import Id, ItemDict
 from .index import FlatIndex
 from .index.hnsw import HnswIndex
 from .index.serialize import dumpall, load_index
-from .io.fasta import concat_file_codes, file_records_codes
+from .io.fasta import concat_file_codes_packed, file_records_codes
 from .io.walk import iter_file_buffers, walk_fasta_dir
 from .models import make_sketcher
 from .results.answer import Neighbour, ReqAnswer
@@ -77,7 +77,11 @@ def _iter_parsed(paths, is_aa: bool, block_flag: bool, computing: ComputingParam
 
                 data = read_file_bytes(path)
             if block_flag:
-                codes, first_id, total = concat_file_codes(path, is_aa=is_aa, data=data)
+                # DNA block mode parses straight into the packed upload
+                # form via the fused native parser (PackedCodes); AA /
+                # no-native fall back to code arrays inside
+                codes, first_id, total = concat_file_codes_packed(
+                    path, is_aa=is_aa, data=data)
                 units = [(codes, first_id, total)] if total > 0 else []
             else:
                 units = [

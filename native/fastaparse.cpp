@@ -223,3 +223,135 @@ long pack2bit_exc(const uint8_t* arr, size_t b, size_t nb,
     }
     return 0;
 }
+
+// Fused parse + 2-bit pack ("one block" mode): parse a FASTA buffer
+// directly into the sketcher's exception upload form — packed 2-bit codes
+// (4/byte) + the positions of invalid codes (record separators, Ns).
+// Skips the intermediate 1 B/base code array entirely: the unfused path
+// touches every base ~4x (parse-write, python assembly copy, pack-read,
+// pack-write); this touches it twice (scratch write + pack read), which
+// is what the 1-core ingest host is bound on.
+//
+//   out_p2      : capacity >= (len/4 + 1) bytes
+//   inv/max_exc : invalid-code positions (NOT prefilled; first *out_ninv
+//                 entries are valid on return)
+//   out_codes   : total codes in the row, separators included
+//
+// Returns kept records; -1 = p2 capacity too small; -2 = more than
+// max_exc invalid positions (caller falls back to the unfused path).
+extern "C"
+long fasta_concat_pack2(const uint8_t* data, size_t len,
+                        uint8_t* out_p2, size_t out_p2_cap,
+                        int32_t* inv, long max_exc,
+                        long min_seq_size,
+                        size_t* out_codes, char* first_id, size_t id_cap,
+                        size_t* total_bases, long* out_ninv) {
+    const uint8_t* table = kTables.dna;
+    // per-record scratch: parse codes here, commit (pack-append) on keep
+    static thread_local uint8_t* scratch = nullptr;
+    static thread_local size_t scratch_cap = 0;
+    if (scratch_cap < len + 1) {
+        delete[] scratch;
+        scratch = new uint8_t[len + 1];
+        scratch_cap = len + 1;
+    }
+    size_t pos = 0;       // committed codes (row position)
+    size_t total = 0;
+    long kept = 0, ninv = 0;
+    bool first_done = false;
+    uint8_t pending = 0;  // partial byte of out_p2[pos/4]
+    size_t i = 0;
+    while (i < len && data[i] != '>') ++i;
+    while (i < len) {
+        ++i;
+        size_t hstart = i;
+        while (i < len && data[i] != '\n') ++i;
+        size_t hend = i;
+        if (i < len) ++i;
+        bool skip = header_has_capsid(data + hstart, hend - hstart);
+        size_t seq_len = 0;
+        size_t scan = i;
+        while (scan < len && data[scan] != '>') {
+            uint8_t c = data[scan++];
+            if (c == '\n' || c == '\r') continue;
+            scratch[seq_len++] = table[c];
+        }
+        i = scan;
+        if (skip || (long)seq_len < min_seq_size || seq_len == 0) continue;
+        if (!first_done) {
+            size_t idn = 0;
+            while (hstart + idn < hend && idn + 1 < id_cap) {
+                uint8_t c = data[hstart + idn];
+                if (c == ' ' || c == '\t') break;
+                first_id[idn++] = (char)c;
+            }
+            first_id[idn] = '\0';
+            first_done = true;
+        }
+        if (kept > 0) {
+            // separator: one INVALID code (hard k-mer break)
+            if (ninv >= max_exc) return -2;
+            inv[ninv++] = (int32_t)pos;
+            size_t sh = (pos & 3) * 2;
+            if (sh == 0) pending = 0;
+            ++pos;
+            if ((pos & 3) == 0) out_p2[(pos >> 2) - 1] = pending;
+        }
+        if ((pos + seq_len) / 4 + 1 > out_p2_cap) return -1;
+        // pack-append the record: byte loop only to byte-align pos, then
+        // a branch-light 4-wide pass (same shape as pack2bit_exc)
+        size_t j = 0;
+        while (j < seq_len && (pos & 3)) {
+            uint8_t c = scratch[j++];
+            if (c >= 4) {
+                if (ninv >= max_exc) return -2;
+                inv[ninv++] = (int32_t)pos;
+                c = 0;
+            }
+            pending |= (uint8_t)(c << ((pos & 3) * 2));
+            ++pos;
+            if ((pos & 3) == 0) out_p2[(pos >> 2) - 1] = pending;
+        }
+        size_t ngroups = (seq_len - j) / 4;
+        uint8_t* outp = out_p2 + (pos >> 2);
+        for (size_t g = 0; g < ngroups; ++g) {
+            uint8_t c0 = scratch[j], c1 = scratch[j + 1];
+            uint8_t c2 = scratch[j + 2], c3 = scratch[j + 3];
+            if ((c0 | c1 | c2 | c3) >= 4) {  // rare: Ns
+                for (int t = 0; t < 4; ++t) {
+                    if (scratch[j + t] >= 4) {
+                        if (ninv >= max_exc) return -2;
+                        inv[ninv++] = (int32_t)(pos + t);
+                        scratch[j + t] = 0;
+                    }
+                }
+                c0 = scratch[j]; c1 = scratch[j + 1];
+                c2 = scratch[j + 2]; c3 = scratch[j + 3];
+            }
+            outp[g] = (uint8_t)((c0 & 3) | ((c1 & 3) << 2) |
+                                ((c2 & 3) << 4) | ((c3 & 3) << 6));
+            j += 4;
+            pos += 4;
+        }
+        while (j < seq_len) {
+            uint8_t c = scratch[j++];
+            if (c >= 4) {
+                if (ninv >= max_exc) return -2;
+                inv[ninv++] = (int32_t)pos;
+                c = 0;
+            }
+            size_t sh = (pos & 3) * 2;
+            if (sh == 0) pending = c;
+            else pending |= (uint8_t)(c << sh);
+            ++pos;
+            if ((pos & 3) == 0) out_p2[(pos >> 2) - 1] = pending;
+        }
+        total += seq_len;
+        ++kept;
+    }
+    if (pos & 3) out_p2[pos >> 2] = pending;  // flush partial byte
+    *out_codes = pos;
+    *total_bases = total;
+    *out_ninv = ninv;
+    return kept;
+}

@@ -67,3 +67,111 @@ def test_concat_on_random_large(lib, rng):
     want = _py_concat(data, False, 0)
     np.testing.assert_array_equal(got[0], want[0])
     assert got[2] == want[2]
+
+
+def _fused(data, min_size=0):
+    from gsearch_tpu.io.native import native_concat_pack2
+
+    res = native_concat_pack2(data, min_size)
+    assert res is not None
+    return res
+
+
+@pytest.mark.parametrize("min_size", [0, 5])
+def test_concat_pack2_vs_python(lib, min_size):
+    if not hasattr(lib, "fasta_concat_pack2"):
+        pytest.skip("old .so without the fused parser")
+    pk, fid, total = _fused(FASTA, min_size)
+    codes, fid2, total2 = _py_concat(FASTA, False, min_size)
+    np.testing.assert_array_equal(pk.to_codes(), codes)
+    assert (fid, total) == (fid2, total2)
+    # every invalid position is accounted for in inv, none elsewhere
+    np.testing.assert_array_equal(np.flatnonzero(codes == 255), pk.inv)
+
+
+def test_concat_pack2_random(lib, rng):
+    if not hasattr(lib, "fasta_concat_pack2"):
+        pytest.skip("old .so without the fused parser")
+    recs = []
+    for i in range(50):
+        seq = bytearray(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                   size=rng.integers(10, 2000)))
+        npos = rng.choice(len(seq), max(1, len(seq) // 100), replace=False)
+        for p in npos:
+            seq[p] = ord("N")  # ~1% Ns: realistic, within the exc budget
+        recs.append(b">r%d x\n" % i + bytes(seq) + b"\n")
+    data = b"".join(recs)
+    pk, fid, total = _fused(data)
+    codes, fid2, total2 = _py_concat(data, False, 0)
+    np.testing.assert_array_equal(pk.to_codes(), codes)
+    assert (fid, total) == (fid2, total2)
+
+
+def test_packed_codes_piece():
+    from gsearch_tpu.io.codec import PackedCodes
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, 1000).astype(np.uint8)
+    codes[rng.choice(1000, 30, replace=False)] = 255
+    inv = np.flatnonzero(codes == 255).astype(np.int32)
+    packed = np.zeros(250, np.uint8)
+    c = np.where(codes == 255, 0, codes)
+    packed = (c[0::4] | (c[1::4] << 2) | (c[2::4] << 4) | (c[3::4] << 6)).astype(np.uint8)
+    pk = PackedCodes(packed, 1000, inv)
+    np.testing.assert_array_equal(pk.to_codes(), codes)
+    for start, length in [(0, 256), (256, 256), (996, 100), (0, 1000)]:
+        np.testing.assert_array_equal(
+            pk.piece(start, length).to_codes(), codes[start : start + length])
+
+
+@pytest.mark.parametrize("algo", ["optdens", "prob3a"])
+def test_packed_sketch_parity(lib, rng, algo):
+    """A PackedCodes genome sketches identically to its code array, in
+    both the batched (sketch_many) and streaming (long-genome) paths."""
+    if not hasattr(lib, "fasta_concat_pack2"):
+        pytest.skip("old .so without the fused parser")
+    from gsearch_tpu.core.params import SeqSketcherParams, SketchAlgo
+    from gsearch_tpu.models import make_sketcher
+
+    params = SeqSketcherParams(
+        kmer_size=16, sketch_size=64, algo=SketchAlgo(algo.upper()),
+        data_t="DNA")
+    recs, n_bases = [], 0
+    i = 0
+    while n_bases < 60_000:  # > the shrunken block below: streams pieces
+        ln = int(rng.integers(500, 9000))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=ln))
+        recs.append(b">r%d\n" % i + seq + b"\n")
+        n_bases += ln
+        i += 1
+    data = b"".join(recs)
+    pk, _, _ = _fused(data)
+    codes = pk.to_codes()
+
+    sk = make_sketcher(params)
+    sk.MAX_BLOCK_LOG2 = 15  # force streaming without a 4 Mb test genome
+    ref = sk.sketch_codes(codes.copy())
+    np.testing.assert_array_equal(sk.sketch_codes(pk), ref)
+    np.testing.assert_array_equal(sk.sketch_many([pk])[0], ref)
+    # short genome -> single-block batched path
+    short_pk = pk.piece(0, 8000)
+    np.testing.assert_array_equal(
+        sk.sketch_many([short_pk])[0], sk.sketch_codes(short_pk.to_codes()))
+
+
+def test_concat_pack2_overflow_falls_back(lib, rng, tmp_path):
+    """An N-run-heavy file overflows the fused parser's exception budget;
+    concat_file_codes_packed must hand back a plain code array."""
+    if not hasattr(lib, "fasta_concat_pack2"):
+        pytest.skip("old .so without the fused parser")
+    from gsearch_tpu.io.fasta import concat_file_codes, concat_file_codes_packed
+    from gsearch_tpu.io.native import native_concat_pack2
+
+    seq = bytes(rng.choice(np.frombuffer(b"ACGTNNNN", np.uint8), size=40_000))
+    data = b">gappy\n" + seq + b"\n"
+    assert native_concat_pack2(data, 0) is None  # budget overflow
+    got, fid, total = concat_file_codes_packed("x.fna", data=data)
+    want, fid2, total2 = concat_file_codes("x.fna", data=data)
+    assert isinstance(got, np.ndarray)
+    np.testing.assert_array_equal(got, want)
+    assert (fid, total) == (fid2, total2)

@@ -311,8 +311,16 @@ def test_initialize_multihost_two_process(tmp_path):
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
         sys.path.insert(0, sys.argv[2])
+        import jax
+        # a machine sitecustomize may pin a remote-TPU platform at
+        # interpreter start (see tests/conftest.py): force local CPU
+        # BEFORE the distributed client instantiates a backend
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 4)
+        import jax.extend.backend
+        jax.extend.backend.clear_backends()
         from gsearch_tpu.parallel.mesh import initialize_multihost
-        import jax, jax.numpy as jnp
+        import jax.numpy as jnp
         import numpy as np
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         idx = initialize_multihost("127.0.0.1:" + sys.argv[3], 2, pid)
