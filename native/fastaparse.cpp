@@ -17,6 +17,11 @@
 #include <cstring>
 #include <cstddef>
 
+#if defined(__AVX512BW__) && defined(__AVX512VBMI2__)
+#include <immintrin.h>
+#define FASTAPARSE_AVX512 1
+#endif
+
 namespace {
 
 constexpr uint8_t INVALID = 255;
@@ -227,10 +232,15 @@ long pack2bit_exc(const uint8_t* arr, size_t b, size_t nb,
 // Fused parse + 2-bit pack ("one block" mode): parse a FASTA buffer
 // directly into the sketcher's exception upload form — packed 2-bit codes
 // (4/byte) + the positions of invalid codes (record separators, Ns).
-// Skips the intermediate 1 B/base code array entirely: the unfused path
-// touches every base ~4x (parse-write, python assembly copy, pack-read,
-// pack-write); this touches it twice (scratch write + pack read), which
-// is what the 1-core ingest host is bound on.
+//
+// Single real pass over the input on a ~1 GB/s-membw 1-core host:
+// sequence spans are compacted (newlines stripped) in L1-resident 16 KB
+// chunks, then encoded+packed 64 bases -> 16 bytes with AVX-512 when the
+// build host has it (branchless ACGT map: x=(c>>1)&3; code=x^(x>>1) —
+// identical to the table's A=0 C=1 G=2 T=3, lowercase + U included).
+// Records are packed optimistically straight into out_p2 and rolled back
+// (counter restore) when dropped by min_seq_size; "capsid" records skip
+// by memchr without any decode work (dnafiles.rs:67).
 //
 //   out_p2      : capacity >= (len/4 + 1) bytes
 //   inv/max_exc : invalid-code positions (NOT prefilled; first *out_ninv
@@ -239,6 +249,114 @@ long pack2bit_exc(const uint8_t* arr, size_t b, size_t nb,
 //
 // Returns kept records; -1 = p2 capacity too small; -2 = more than
 // max_exc invalid positions (caller falls back to the unfused path).
+
+namespace {
+
+constexpr size_t kChunk = 16384;
+
+struct PackState {
+    uint8_t* out;
+    size_t cap;        // bytes of out
+    int32_t* inv;
+    long max_exc;
+    size_t pos = 0;    // committed codes (row position)
+    long ninv = 0;
+    uint8_t pending = 0;  // partial byte of out[pos/4]
+};
+
+// Strip '\n'/'\r' from src[0..n) into dst (needs n+64 capacity); returns
+// the kept count.  AVX-512 VBMI2 compress-store where available.
+inline size_t compact_span(const uint8_t* src, size_t n, uint8_t* dst) {
+    size_t i = 0, w = 0;
+#ifdef FASTAPARSE_AVX512
+    const __m512i nl = _mm512_set1_epi8('\n');
+    const __m512i cr = _mm512_set1_epi8('\r');
+    for (; i + 64 <= n; i += 64) {
+        __m512i v = _mm512_loadu_si512(src + i);
+        __mmask64 keep = _mm512_cmpneq_epi8_mask(v, nl)
+                       & _mm512_cmpneq_epi8_mask(v, cr);
+        _mm512_mask_compressstoreu_epi8(dst + w, keep, v);
+        w += (size_t)__builtin_popcountll((unsigned long long)keep);
+    }
+#endif
+    for (; i < n; ++i) {
+        uint8_t c = src[i];
+        if (c != '\n' && c != '\r') dst[w++] = c;
+    }
+    return w;
+}
+
+// Emit one raw FASTA byte (scalar path: alignment head/tail).
+// Returns -2 on inv overflow, 0 otherwise.
+inline long emit_raw(PackState& st, uint8_t raw) {
+    uint8_t c = kTables.dna[raw];
+    if (c >= 4) {
+        if (st.ninv >= st.max_exc) return -2;
+        st.inv[st.ninv++] = (int32_t)st.pos;
+        c = 0;
+    }
+    size_t sh = (st.pos & 3) * 2;
+    if (sh == 0) st.pending = c;
+    else st.pending |= (uint8_t)(c << sh);
+    ++st.pos;
+    if ((st.pos & 3) == 0) st.out[(st.pos >> 2) - 1] = st.pending;
+    return 0;
+}
+
+// Encode + pack m newline-free bytes.  Returns 0 / -1 (cap) / -2 (exc).
+inline long append_codes(PackState& st, const uint8_t* src, size_t m) {
+    if ((st.pos + m) / 4 + 2 > st.cap) return -1;
+    size_t j = 0;
+    while ((st.pos & 3) && j < m) {
+        long rc = emit_raw(st, src[j++]);
+        if (rc) return rc;
+    }
+#ifdef FASTAPARSE_AVX512
+    const __m512i up = _mm512_set1_epi8((char)0xDF);
+    const __m512i A = _mm512_set1_epi8('A'), C = _mm512_set1_epi8('C');
+    const __m512i G = _mm512_set1_epi8('G'), T = _mm512_set1_epi8('T');
+    const __m512i U = _mm512_set1_epi8('U');
+    const __m512i three = _mm512_set1_epi8(3), one = _mm512_set1_epi8(1);
+    const __m512i w_pair = _mm512_set1_epi16(0x0401);
+    const __m512i w_quad = _mm512_set1_epi32(0x00100001);
+    for (; j + 64 <= m; j += 64) {
+        __m512i v = _mm512_loadu_si512(src + j);
+        __m512i u = _mm512_and_si512(v, up);
+        __mmask64 valid = _mm512_cmpeq_epi8_mask(u, A)
+                        | _mm512_cmpeq_epi8_mask(u, C)
+                        | _mm512_cmpeq_epi8_mask(u, G)
+                        | _mm512_cmpeq_epi8_mask(u, T)
+                        | _mm512_cmpeq_epi8_mask(u, U);
+        if (valid != ~0ULL) {  // rare: Ns etc.
+            uint64_t bad = ~(uint64_t)valid;
+            while (bad) {
+                int b = __builtin_ctzll(bad);
+                bad &= bad - 1;
+                if (st.ninv >= st.max_exc) return -2;
+                st.inv[st.ninv++] = (int32_t)(st.pos + (size_t)b);
+            }
+        }
+        // x = (c>>1)&3 maps A->0 C->1 G->3 T/U->2; x^(x>>1) swaps 2<->3
+        __m512i x = _mm512_and_si512(_mm512_srli_epi16(v, 1), three);
+        __m512i code = _mm512_xor_si512(
+            x, _mm512_and_si512(_mm512_srli_epi16(x, 1), one));
+        code = _mm512_maskz_mov_epi8(valid, code);  // invalid -> 0
+        __m512i pairs = _mm512_maddubs_epi16(code, w_pair);   // c0 + 4c1
+        __m512i quads = _mm512_madd_epi16(pairs, w_quad);     // + 16c2 + 64c3
+        _mm_storeu_si128((__m128i*)(st.out + (st.pos >> 2)),
+                         _mm512_cvtepi32_epi8(quads));
+        st.pos += 64;
+    }
+#endif
+    for (; j < m; ++j) {
+        long rc = emit_raw(st, src[j]);
+        if (rc) return rc;
+    }
+    return 0;
+}
+
+}  // namespace
+
 extern "C"
 long fasta_concat_pack2(const uint8_t* data, size_t len,
                         uint8_t* out_p2, size_t out_p2_cap,
@@ -246,38 +364,62 @@ long fasta_concat_pack2(const uint8_t* data, size_t len,
                         long min_seq_size,
                         size_t* out_codes, char* first_id, size_t id_cap,
                         size_t* total_bases, long* out_ninv) {
-    const uint8_t* table = kTables.dna;
-    // per-record scratch: parse codes here, commit (pack-append) on keep
-    static thread_local uint8_t* scratch = nullptr;
-    static thread_local size_t scratch_cap = 0;
-    if (scratch_cap < len + 1) {
-        delete[] scratch;
-        scratch = new uint8_t[len + 1];
-        scratch_cap = len + 1;
-    }
-    size_t pos = 0;       // committed codes (row position)
+    static thread_local uint8_t cbuf[kChunk + 64];
+    PackState st{out_p2, out_p2_cap, inv, max_exc};
     size_t total = 0;
-    long kept = 0, ninv = 0;
+    long kept = 0;
     bool first_done = false;
-    uint8_t pending = 0;  // partial byte of out_p2[pos/4]
     size_t i = 0;
-    while (i < len && data[i] != '>') ++i;
+    {
+        const void* gt = memchr(data, '>', len);
+        i = gt ? (size_t)((const uint8_t*)gt - data) : len;
+    }
     while (i < len) {
         ++i;
         size_t hstart = i;
-        while (i < len && data[i] != '\n') ++i;
-        size_t hend = i;
-        if (i < len) ++i;
-        bool skip = header_has_capsid(data + hstart, hend - hstart);
+        const void* nl = memchr(data + i, '\n', len - i);
+        size_t hend = nl ? (size_t)((const uint8_t*)nl - data) : len;
+        i = hend < len ? hend + 1 : len;
+        if (header_has_capsid(data + hstart, hend - hstart)) {
+            const void* gt = memchr(data + i, '>', len - i);
+            i = gt ? (size_t)((const uint8_t*)gt - data) : len;
+            continue;
+        }
+        // optimistic commit: save state, pack straight into out_p2, roll
+        // the counters back if the record is dropped
+        size_t pos0 = st.pos;
+        long ninv0 = st.ninv;
+        uint8_t pend0 = st.pending;
+        if (kept > 0) {
+            // separator: one INVALID code (hard k-mer break)
+            if (st.ninv >= st.max_exc) return -2;
+            st.inv[st.ninv++] = (int32_t)st.pos;
+            size_t sh = (st.pos & 3) * 2;
+            if (sh == 0) st.pending = 0;
+            ++st.pos;
+            if ((st.pos & 3) == 0) st.out[(st.pos >> 2) - 1] = st.pending;
+        }
         size_t seq_len = 0;
         size_t scan = i;
         while (scan < len && data[scan] != '>') {
-            uint8_t c = data[scan++];
-            if (c == '\n' || c == '\r') continue;
-            scratch[seq_len++] = table[c];
+            size_t cend = scan + kChunk;
+            if (cend > len) cend = len;
+            const void* gt = memchr(data + scan, '>', cend - scan);
+            if (gt) cend = (size_t)((const uint8_t*)gt - data);
+            size_t m = compact_span(data + scan, cend - scan, cbuf);
+            long rc = append_codes(st, cbuf, m);
+            if (rc) return rc;
+            seq_len += m;
+            scan = cend;
+            if (gt) break;
         }
         i = scan;
-        if (skip || (long)seq_len < min_seq_size || seq_len == 0) continue;
+        if ((long)seq_len < min_seq_size || seq_len == 0) {
+            st.pos = pos0;       // dropped: ignore the optimistic writes
+            st.ninv = ninv0;
+            st.pending = pend0;
+            continue;
+        }
         if (!first_done) {
             size_t idn = 0;
             while (hstart + idn < hend && idn + 1 < id_cap) {
@@ -288,70 +430,12 @@ long fasta_concat_pack2(const uint8_t* data, size_t len,
             first_id[idn] = '\0';
             first_done = true;
         }
-        if (kept > 0) {
-            // separator: one INVALID code (hard k-mer break)
-            if (ninv >= max_exc) return -2;
-            inv[ninv++] = (int32_t)pos;
-            size_t sh = (pos & 3) * 2;
-            if (sh == 0) pending = 0;
-            ++pos;
-            if ((pos & 3) == 0) out_p2[(pos >> 2) - 1] = pending;
-        }
-        if ((pos + seq_len) / 4 + 1 > out_p2_cap) return -1;
-        // pack-append the record: byte loop only to byte-align pos, then
-        // a branch-light 4-wide pass (same shape as pack2bit_exc)
-        size_t j = 0;
-        while (j < seq_len && (pos & 3)) {
-            uint8_t c = scratch[j++];
-            if (c >= 4) {
-                if (ninv >= max_exc) return -2;
-                inv[ninv++] = (int32_t)pos;
-                c = 0;
-            }
-            pending |= (uint8_t)(c << ((pos & 3) * 2));
-            ++pos;
-            if ((pos & 3) == 0) out_p2[(pos >> 2) - 1] = pending;
-        }
-        size_t ngroups = (seq_len - j) / 4;
-        uint8_t* outp = out_p2 + (pos >> 2);
-        for (size_t g = 0; g < ngroups; ++g) {
-            uint8_t c0 = scratch[j], c1 = scratch[j + 1];
-            uint8_t c2 = scratch[j + 2], c3 = scratch[j + 3];
-            if ((c0 | c1 | c2 | c3) >= 4) {  // rare: Ns
-                for (int t = 0; t < 4; ++t) {
-                    if (scratch[j + t] >= 4) {
-                        if (ninv >= max_exc) return -2;
-                        inv[ninv++] = (int32_t)(pos + t);
-                        scratch[j + t] = 0;
-                    }
-                }
-                c0 = scratch[j]; c1 = scratch[j + 1];
-                c2 = scratch[j + 2]; c3 = scratch[j + 3];
-            }
-            outp[g] = (uint8_t)((c0 & 3) | ((c1 & 3) << 2) |
-                                ((c2 & 3) << 4) | ((c3 & 3) << 6));
-            j += 4;
-            pos += 4;
-        }
-        while (j < seq_len) {
-            uint8_t c = scratch[j++];
-            if (c >= 4) {
-                if (ninv >= max_exc) return -2;
-                inv[ninv++] = (int32_t)pos;
-                c = 0;
-            }
-            size_t sh = (pos & 3) * 2;
-            if (sh == 0) pending = c;
-            else pending |= (uint8_t)(c << sh);
-            ++pos;
-            if ((pos & 3) == 0) out_p2[(pos >> 2) - 1] = pending;
-        }
         total += seq_len;
         ++kept;
     }
-    if (pos & 3) out_p2[pos >> 2] = pending;  // flush partial byte
-    *out_codes = pos;
+    if (st.pos & 3) st.out[st.pos >> 2] = st.pending;  // flush partial byte
+    *out_codes = st.pos;
     *total_bases = total;
-    *out_ninv = ninv;
+    *out_ninv = st.ninv;
     return kept;
 }
