@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from gsearch_tpu.io import fasta as F
-from gsearch_tpu.io.native import get_lib, native_concat_codes, native_records_codes
+from gsearch_tpu.io.native import (get_lib, native_concat_codes,
+                                   native_concat_pack2, native_records_codes)
 
 FASTA = (
     b">rec1 first record\nACGTACGT\nNNGGTT\n"
@@ -105,6 +106,38 @@ def test_concat_pack2_random(lib, rng):
     codes, fid2, total2 = _py_concat(data, False, 0)
     np.testing.assert_array_equal(pk.to_codes(), codes)
     assert (fid, total) == (fid2, total2)
+
+
+def test_concat_pack2_fuzz_structure(lib, rng):
+    """Structural fuzz of the single-pass fused parser: CRLF line wraps at
+    widths straddling the 64-byte vector stride, lowercase/U, min_seq_size
+    rollback of optimistically-packed records (incl. the separator), capsid
+    skips, and >16 KB records crossing the compaction chunk boundary."""
+    if not hasattr(lib, "fasta_concat_pack2"):
+        pytest.skip("old .so without the fused parser")
+    alph = np.frombuffer(b"ACGTacgtUuNacgt", np.uint8)
+    for trial in range(25):
+        recs = []
+        for r in range(int(rng.integers(1, 6))):
+            n = int(rng.integers(1, 40_000))
+            seq = bytes(rng.choice(alph, n))
+            width = int(rng.choice([0, 7, 63, 64, 65, 80]))
+            if width:
+                lines = [seq[i : i + width] for i in range(0, n, width)]
+                eol = b"\r\n" if rng.random() < 0.5 else b"\n"
+                seq = eol.join(lines)
+            hdr = b">r%d capsid\n" % r if rng.random() < 0.2 else b">r%d x\n" % r
+            recs.append(hdr + seq + b"\n")
+        data = b"".join(recs)
+        min_size = int(rng.choice([0, 100, 20_000]))
+        codes, fid2, total2 = _py_concat(data, False, min_size)
+        res = native_concat_pack2(data, min_size)
+        if res is None:  # exception-budget overflow: legal fallback
+            continue
+        pk, fid, total = res
+        np.testing.assert_array_equal(pk.to_codes(), codes)
+        assert (fid, total) == (fid2, total2)
+        np.testing.assert_array_equal(np.flatnonzero(codes == 255), pk.inv)
 
 
 def test_packed_codes_piece():
