@@ -868,8 +868,14 @@ class HnswIndex:
             if rep > self.COARSE_BYTES:
                 self._coarse = False
                 return None
+            # explicit candidate width: the default knbn-proportional
+            # widening at rerank pools of r>=160 blows the row-DMA rerank
+            # kernel's 16 MB VMEM scratch (nb_cand x 4 KB prefix rows);
+            # 2048 estimator candidates feed exact-prefix top-r for any
+            # r <= 1024 within an 8.4 MB scratch
             self._coarse = MxuSearcher(
-                np.ascontiguousarray(_as_u32(self._sigs[:, :sp])))
+                np.ascontiguousarray(_as_u32(self._sigs[:, :sp])),
+                nb_cand=2048)
         return self._coarse
 
     def search(
@@ -900,10 +906,29 @@ class HnswIndex:
         qbuf = np.full((qb, self.sketch_size), 0xFFFFFFFF, np.uint32)
         qbuf[:nq] = _as_u32(queries)
         need_host_rerank = self._host_rerank_needed()
+        tier_kind = self._rerank_tier()[0]
         d, ids = self.search_device(jnp.asarray(qbuf), knbn, ef_search,
                                     rerank=not need_host_rerank)
         if not need_host_rerank:
-            return np.asarray(d)[:nq], np.asarray(ids)[:nq]
+            if tier_kind != "packed":
+                return np.asarray(d)[:nq], np.asarray(ids)[:nq]
+            # the packed tier's distances are 16-bit-hash counts over a
+            # slot SAMPLE — fine for candidate ranking, but the host
+            # path's output distances feed ANI conversion
+            # (reformat.rs:80-85), so the k answers re-score exactly from
+            # the resident full signatures (same ids, exact distances;
+            # deliberately the SAME device shapes as search_device — a
+            # widened device pool here compiled 18 min of extra top_k)
+            ids_h = np.asarray(ids)[:nq]
+            qs = _as_u32(queries)
+            sigs = _as_u32(self._sigs)
+            rows = sigs[np.clip(ids_h, 0, n - 1)]  # [nq, knbn, S]
+            eq = (rows == qs[:, None, :]).sum(-1)
+            dx = (1.0 - eq / np.float32(self.sketch_size)).astype(np.float32)
+            dx[ids_h >= n] = np.inf
+            sel = np.argsort(dx, axis=1, kind="stable")
+            return (np.take_along_axis(dx, sel, axis=1),
+                    np.take_along_axis(ids_h, sel, axis=1))
 
         # host rerank: numpy gather from the resident signature matrix
         # (no device tier fits; candidates came back at prefix precision)
@@ -969,13 +994,24 @@ class HnswIndex:
         expand = self.EXPAND
         hops = max(8, int(2 * math.log2(nb)) + ef_round // expand)
         no_rerank = sp >= self.sketch_size
-        r = knbn if no_rerank else min(_round_up(max(4 * knbn, 32), 8), ef_round)
+        r_env = int(os.environ.get("GSEARCH_TPU_RERANK_R", "0"))
+        base_r = r_env or max(4 * knbn, 32)
+        r = knbn if no_rerank else min(_round_up(base_r, 8), ef_round)
 
         coarse = None
         if (jax.default_backend() == "tpu" and n >= self.COARSE_MIN
                 and not os.environ.get("GSEARCH_TPU_FORCE_BEAM")):
             coarse = self._coarse_searcher()
         if coarse is not None:
+            if not no_rerank:
+                # the coarse sweep's candidates are the exact prefix-metric
+                # top-r; unlike the beam's they are not bounded by ef, and a
+                # wide pool is what buys back the prefix->full-metric recall
+                # gap at packed-rerank scales (524k: r=40 -> recall .982,
+                # r=160 -> see HNSW524K_BENCH.json).  Capped at 1024 to stay
+                # inside the coarse searcher's nb_cand=2048 estimator pool
+                # and the packed rerank's VMEM scratch.
+                r = min(_round_up(r_env or max(16 * knbn, 160), 8), nb, 1024)
             dp, ids = coarse.search_device(
                 q_p, knbn=knbn if no_rerank else r)
         else:
