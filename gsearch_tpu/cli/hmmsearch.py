@@ -29,6 +29,8 @@ def _iter_hmm_files(path: str):
 
 def run_hmmsearch(faa: str, hmm: str, output: str | None = None,
                   cut_ga: bool = False, e_max: float | None = None) -> int:
+    import numpy as np
+
     from ..io.fasta import parse_fasta
     from ..models.hmmprofile import HmmSearcher, parse_hmmer3
 
@@ -48,25 +50,32 @@ def run_hmmsearch(faa: str, hmm: str, output: str | None = None,
         return 1
 
     searcher = HmmSearcher(profiles)
-    bits = searcher.score(seqs)
-    ev = searcher.evalues(bits, n_targets=len(seqs))
+    # real hmmsearch reports Forward bit scores and applies GA cutoffs to
+    # them (p7_Pipeline); the Viterbi score rides along as vit_bits
+    bits = searcher.score(seqs, algo="forward")
+    vbits = searcher.score(seqs, algo="viterbi")
+    ev = searcher.evalues(bits, n_targets=len(seqs), algo="forward")
+    if np.isnan(ev).all():  # uncalibrated profiles: fall back to Viterbi tail
+        ev = searcher.evalues(vbits, n_targets=len(seqs), algo="viterbi")
 
     out = open(output, "w") if output else sys.stdout
     try:
-        print("# seq_name\thmm_name\thmm_acc\tbits\tevalue\tga_pass", file=out)
+        print("# seq_name\thmm_name\thmm_acc\tbits\tvit_bits\tevalue\tga_pass",
+              file=out)
         n_rows = 0
         for h, p in enumerate(profiles):
             order = sorted(range(len(seqs)), key=lambda i: -bits[h, i])
             for i in order:
                 b = float(bits[h, i])
+                vb = float(vbits[h, i])
                 e = float(ev[h, i])
                 gp = "-" if p.ga != p.ga else ("1" if b >= p.ga else "0")
                 if cut_ga and gp != "1":
                     continue
                 if e_max is not None and e == e and e > e_max:
                     continue
-                print(f"{names[i]}\t{p.name}\t{p.acc}\t{b:.1f}\t{e:.3g}\t{gp}",
-                      file=out)
+                print(f"{names[i]}\t{p.name}\t{p.acc}\t{b:.1f}\t{vb:.1f}\t"
+                      f"{e:.3g}\t{gp}", file=out)
                 n_rows += 1
         print(f"wrote {n_rows} rows ({len(profiles)} profiles x "
               f"{len(seqs)} seqs)", file=sys.stderr)

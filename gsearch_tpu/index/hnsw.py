@@ -797,23 +797,28 @@ class HnswIndex:
             self._device = (jnp.asarray(sigs_p), jnp.asarray(nbrs_p), jnp.asarray(entries))
         return self._device
 
-    def _device_packed_sigs(self, w: int):
-        """16-bit-hash rerank representation [nb+1, 8, w/16] u32 over the
-        first `w` slots (half the bytes of the full matrix per slot, and
-        w <= S samples the slots when even that is too big).  Built in row
-        chunks into a donated buffer — a concat would double peak HBM."""
-        if self._device_packed is not None and self._device_packed[0] == w:
-            return self._device_packed[1]
-        from ..ops.mxu import _pack_hash16
+    def _device_packed_sigs(self, w: int, bits: int = 16):
+        """Hashed-slot rerank representation over the first `w` slots:
+        bits=16 -> [nb+1, 8, w/16] u32 pair-packed 16-bit hashes (half the
+        bytes of the full matrix; w <= S samples the slots when even that
+        is too big), bits=8 -> [nb+1, 8, w/32] u32 four-packed 8-bit hashes
+        (quarter the bytes — the full-width tier at 524k x 12000, see
+        _pack_hash8).  Built in row chunks into a donated buffer — a
+        concat would double peak HBM."""
+        if (self._device_packed is not None
+                and self._device_packed[:2] == (w, bits)):
+            return self._device_packed[2]
+        from ..ops.mxu import _pack_hash8, _pack_hash16
 
         n = self.nb_points
         nb = _next_pow2(n)
         wq = min(w, self.sketch_size)
-        buf = jnp.zeros((nb + 1, 8, w // 16), jnp.uint32)
+        pack = _pack_hash16 if bits == 16 else _pack_hash8
+        buf = jnp.zeros((nb + 1, 8, w // (256 // bits)), jnp.uint32)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def write(buf, rows_u32, start):
-            p3 = _pack_hash16(rows_u32, spad=w, pad_val=0)
+            p3 = pack(rows_u32, spad=w, pad_val=0)
             return jax.lax.dynamic_update_slice(
                 buf, p3, (start, jnp.int32(0), jnp.int32(0)))
 
@@ -824,7 +829,7 @@ class HnswIndex:
             live = min(step, n - start)
             rows[:live] = src[start : start + live]
             buf = write(buf, jnp.asarray(rows), jnp.int32(start))
-        self._device_packed = (w, buf)
+        self._device_packed = (w, bits, buf)
         return buf
 
     def _device_full_sigs(self):
@@ -845,10 +850,12 @@ class HnswIndex:
     #: databases at least this large use the coarse MXU candidate path on
     #: TPU (exact prefix-metric top-r sweep via ops/mxu.py) instead of the
     #: beam, when its compact representation fits next to the rerank tier.
-    #: Candidates are then EXACTLY the prefix-metric top-r — recall >= the
-    #: beam's at the same rerank width — at dense-matmul throughput, where
-    #: the beam pays dedup/merge VPU work per hop (the r2 verdict's
-    #: "hybrid MXU coarse -> refine").  GSEARCH_TPU_FORCE_BEAM=1 overrides.
+    #: Measured at 524k x 12000 (DIAG524K.json): the prefix top-160 pool
+    #: contains ALL oracle top-10 (pool recall 1.0) — end-to-end recall is
+    #: set entirely by the rerank tier's fidelity (_rerank_tier), at
+    #: dense-matmul throughput where the beam pays dedup/merge VPU work
+    #: per hop (the r2 verdict's "hybrid MXU coarse -> refine").
+    #: GSEARCH_TPU_FORCE_BEAM=1 overrides.
     COARSE_MIN = int(os.environ.get("GSEARCH_TPU_COARSE_MIN", "65536"))
     #: HBM budget for the coarse representation (leaves room for the
     #: packed/full rerank tier, whose own budget is _RERANK_DEVICE_BYTES)
@@ -910,10 +917,10 @@ class HnswIndex:
         d, ids = self.search_device(jnp.asarray(qbuf), knbn, ef_search,
                                     rerank=not need_host_rerank)
         if not need_host_rerank:
-            if tier_kind != "packed":
+            if tier_kind == "full":
                 return np.asarray(d)[:nq], np.asarray(ids)[:nq]
-            # the packed tier's distances are 16-bit-hash counts over a
-            # slot SAMPLE — fine for candidate ranking, but the host
+            # the packed tiers' distances are hash-collision-inflated
+            # equal counts — fine for candidate ranking, but the host
             # path's output distances feed ANI conversion
             # (reformat.rs:80-85), so the k answers re-score exactly from
             # the resident full signatures (same ids, exact distances;
@@ -951,19 +958,32 @@ class HnswIndex:
         """(kind, width): which device rerank tier fits HBM at this N x S.
 
         "full" = exact equal-count on the whole signature; "packed" =
-        16-bit slot hashes over the first w slots (half the bytes,
-        collision bias 2^-16/slot — e.g. 524k x 12000: w=8192 is 8.6 GB);
-        "host" = nothing fits, candidates rerank on the host."""
+        16-bit slot hashes (collision bias 2^-16/slot — near-exact) over
+        the first w slots; "packed8" = 8-bit slot hashes over ALL slots
+        (collision sd ~2 slots at S=12000 — still far below sketch noise).
+        Full-width coverage beats hash width: a 16-bit tier over a slot
+        SAMPLE (8192/12000) carries ~20-slot sampling noise and capped
+        524k recall@10 at 0.982 (DIAG524K.json), while the 8-bit
+        full-width tier is ~2-slot noise at half the bytes (6.4 GB at
+        524k x 12000).  "host" = nothing fits, candidates rerank on the
+        host."""
         n = self.nb_points
         sp = self.search_prefix
-        full_bytes = (_next_pow2(n) + 1) * _round_up(self.sketch_size, 1024) * 4
+        nbp1 = _next_pow2(n) + 1
+        full_bytes = nbp1 * _round_up(self.sketch_size, 1024) * 4
         if (full_bytes <= _RERANK_DEVICE_BYTES
                 and not os.environ.get("GSEARCH_TPU_FORCE_PACKED_RERANK")):
             return "full", self.sketch_size
-        w_budget = int(0.7 * _RERANK_DEVICE_BYTES) // (2 * (_next_pow2(n) + 1))
-        w = min(w_budget // 2048 * 2048, _round_up(self.sketch_size, 2048))
-        if w >= 2048 and w > sp:
-            return "packed", w
+        budget = int(0.7 * _RERANK_DEVICE_BYTES)
+        w16 = min(budget // (2 * nbp1) // 2048 * 2048,
+                  _round_up(self.sketch_size, 2048))
+        if w16 >= _round_up(self.sketch_size, 2048):
+            return "packed", w16          # full-width 16-bit
+        w8 = _round_up(self.sketch_size, 4096)
+        if budget // nbp1 >= w8:
+            return "packed8", w8          # full-width 8-bit
+        if w16 >= 2048 and w16 > sp:
+            return "packed", w16          # sampled 16-bit (last resort)
         return "host", 0
 
     def _host_rerank_needed(self) -> bool:
@@ -1005,12 +1025,12 @@ class HnswIndex:
         if coarse is not None:
             if not no_rerank:
                 # the coarse sweep's candidates are the exact prefix-metric
-                # top-r; unlike the beam's they are not bounded by ef, and a
-                # wide pool is what buys back the prefix->full-metric recall
-                # gap at packed-rerank scales (524k: r=40 -> recall .982,
-                # r=160 -> see HNSW524K_BENCH.json).  Capped at 1024 to stay
-                # inside the coarse searcher's nb_cand=2048 estimator pool
-                # and the packed rerank's VMEM scratch.
+                # top-r; unlike the beam's they are not bounded by ef.  At
+                # 524k x 12000 the r=160 pool already contains all oracle
+                # top-10 (DIAG524K.json pool_recall 1.0) — end-to-end
+                # recall is set by the rerank tier, not r.  Capped at 1024
+                # to stay inside the coarse searcher's nb_cand=2048
+                # estimator pool and the packed rerank's VMEM scratch.
                 r = min(_round_up(r_env or max(16 * knbn, 160), 8), nb, 1024)
             dp, ids = coarse.search_device(
                 q_p, knbn=knbn if no_rerank else r)
@@ -1035,17 +1055,23 @@ class HnswIndex:
                 knbn=knbn, s_true=self.sketch_size,
                 use_pallas=jax.default_backend() == "tpu",
             )
-        if kind == "packed":
-            from ..ops.mxu import _pack_hash16
+        if kind in ("packed", "packed8"):
+            from ..ops.mxu import _pack_hash8, _pack_hash16
 
+            bits = 16 if kind == "packed" else 8
             wq = min(w, self.sketch_size)
-            packed = self._device_packed_sigs(w)
-            q_pk = _pack_hash16(q_u32[:, :wq], spad=w,
-                                pad_val=1).reshape(qb, w // 2)
+            packed = self._device_packed_sigs(w, bits=bits)
+            if bits == 16:
+                q_pk = _pack_hash16(q_u32[:, :wq], spad=w,
+                                    pad_val=1).reshape(qb, w // 2)
+            else:
+                q_pk = _pack_hash8(q_u32[:, :wq], spad=w,
+                                   pad_val=1).reshape(qb, w // 4)
             return _rerank_device(
                 packed, q_pk, ids, jnp.int32(n),
                 knbn=knbn, s_true=wq,
-                use_pallas=jax.default_backend() == "tpu", halves=True,
+                use_pallas=jax.default_backend() == "tpu",
+                parts=32 // bits,
             )
         raise ValueError(
             "no device rerank tier fits; use search() (host rerank)")
@@ -1414,11 +1440,11 @@ def _graph_search(sigs_p, nbrs_p, entries, q_p, n, *, ef, r, hops, expand,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("knbn", "s_true", "use_pallas", "halves"))
+                   static_argnames=("knbn", "s_true", "use_pallas", "parts"))
 def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true, use_pallas,
-                   halves=False):
-    """Full-signature (or packed-hash, halves=True) rerank of the [Q, R]
-    beam candidates.
+                   parts=1):
+    """Full-signature (parts=1) or packed-hash (parts=2: 16-bit halves,
+    parts=4: 8-bit quarters) rerank of the [Q, R] beam candidates.
 
     On TPU this uses the pallas manual-DMA gather kernel, NOT jnp.take:
     XLA's gather on the resident [N, S] matrix materializes a layout-
@@ -1430,14 +1456,19 @@ def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true, use_pallas,
         from ..ops.distance import gather_hamming_pallas
 
         d = gather_hamming_pallas(sigs_full, q_full, ids, s_true=s_true,
-                                  halves=halves)
+                                  parts=parts)
     else:
         flat = sigs_full.reshape(sigs_full.shape[0], -1)  # CPU: copies are fine
         rows = jnp.take(flat, ids, axis=0)  # [Q, R, Sp]
-        if halves:
+        if parts == 2:
             x = rows ^ q_full[:, None, :]
             eq = (((x & jnp.uint32(0xFFFF)) == 0).sum(-1)
                   + ((x >> jnp.uint32(16)) == 0).sum(-1)).astype(jnp.float32)
+        elif parts == 4:
+            x = rows ^ q_full[:, None, :]
+            eq = sum(
+                (((x >> jnp.uint32(8 * b)) & jnp.uint32(0xFF)) == 0).sum(-1)
+                for b in range(4)).astype(jnp.float32)
         else:
             eq = (rows == q_full[:, None, :]).sum(-1).astype(jnp.float32)
         d = (jnp.float32(s_true) - eq) / jnp.float32(s_true)

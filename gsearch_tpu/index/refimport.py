@@ -92,11 +92,17 @@ def read_reference_seqdict(path: str) -> SeqDict:
 
 def _candidate_layouts(file_size: int, n: int, payload: int):
     """Yield (header, overhead) pairs consistent with the file size.
-    overhead covers any per-record magic/id/length prefix; the grid spans
-    every layout hnsw_rs-era dumps plausibly use (bare payload, u64 id,
-    u32 magic + u64 id, + u64 serialized length, bincode length, ...)."""
-    for header in (0, 4, 8, 12, 16, 24, 32):
-        for overhead in (0, 4, 8, 12, 16, 20, 24, 28, 32):
+
+    overhead covers any per-record magic/id/length prefix.  Because the
+    payload length is CONSTANT across records, even variable-width length
+    encodings (bincode 2 varints: 1 byte under 251, 0xFB+u16, 0xFC+u32,
+    0xFD+u64) produce the same prefix bytes every record — i.e. a fixed
+    stride — so exhausting every (header, overhead) in [0, 32] covers
+    fixed u32/u64 framing AND varint framing (e.g. magic4 + id8 + varint5
+    = overhead 17).  The file-size decomposition plus the rank-sequential
+    DataId check (_validate_ids) then selects the real layout or refuses."""
+    for header in range(0, 33):
+        for overhead in range(0, 33):
             if header + n * (overhead + payload) == file_size:
                 yield header, overhead
 

@@ -301,14 +301,12 @@ class Gene:
     aa: str
 
 
-def _precompute_scores(codes: jnp.ndarray, p: GenePredParams,
-                       codon_lu: np.ndarray | None = None,
-                       dicodon_lu: np.ndarray | None = None):
-    """codes [B, L] -> per-position emissions [B, L, 7] and bonuses."""
-    if codon_lu is None:
-        codon_lu = p.codon_logusage
-    if dicodon_lu is None:
-        dicodon_lu = p.dicodon_logusage
+def _precompute_scores(codes: jnp.ndarray, codon_lu, dicodon_lu,
+                       start_codon_bonus, stop_codon_bonus):
+    """codes [B, L] -> per-position emissions [B, L, NSTATE] and bonuses.
+
+    Traceable: called under jit with the bonus strengths as traced scalars
+    (parameter sweeps and trained models then share one compiled program)."""
     b, l = codes.shape
     c = jnp.where(codes < 4, codes, 0).astype(jnp.int32)
     invalid = codes >= 4
@@ -368,7 +366,8 @@ def _precompute_scores(codes: jnp.ndarray, p: GenePredParams,
     stop_ids = jnp.asarray([_codon_id(s) for s in _STOPS])
 
     def bonus(is_hit, strength):
-        return jnp.where(is_hit, jnp.float32(strength), jnp.float32(-strength))
+        strength = jnp.asarray(strength, jnp.float32)
+        return jnp.where(is_hit, strength, -strength)
 
     # forward-looking windows: the last two positions have no complete
     # forward codon (roll wraps to the sequence head)
@@ -382,11 +381,11 @@ def _precompute_scores(codes: jnp.ndarray, p: GenePredParams,
     cod_start = c * 16 + jnp.roll(c, -1, axis=1) * 4 + jnp.roll(c, -2, axis=1)
     start_bonus = bonus(
         (cod_start[..., None] == start_ids[None, None, :]).any(-1) & ~fwd_bad,
-        p.start_codon_bonus,
+        start_codon_bonus,
     )
     # + strand: gene closes entering NC at i; its stop codon ENDS at i-1
     is_stop_end = (codon[..., None] == stop_ids[None, None, :]).any(-1)
-    stop_bonus = bonus(jnp.roll(is_stop_end, 1, axis=1), p.stop_bonus)
+    stop_bonus = bonus(jnp.roll(is_stop_end, 1, axis=1), stop_codon_bonus)
     # - strand: gene opens (leftmost + position i) with the minus-strand
     # STOP codon occupying (i, i+1, i+2): read 5'->3' on minus it is
     # revcomp(c[i+2], c[i+1], c[i])
@@ -395,87 +394,115 @@ def _precompute_scores(codes: jnp.ndarray, p: GenePredParams,
     )
     rev_begin_bonus = bonus(
         (rcod_start[..., None] == stop_ids[None, None, :]).any(-1) & ~fwd_bad,
-        p.stop_bonus,
+        stop_codon_bonus,
     )
     # - strand: gene closes entering NC at i; its minus START codon is the
     # rcodon ENDING at i-1
     ris_start_end = (rcodon[..., None] == start_ids[None, None, :]).any(-1)
-    rev_end_bonus = bonus(jnp.roll(ris_start_end, 1, axis=1), p.start_codon_bonus)
+    rev_end_bonus = bonus(jnp.roll(ris_start_end, 1, axis=1), start_codon_bonus)
     return e, start_bonus, stop_bonus, rev_begin_bonus, rev_end_bonus
 
 
-@functools.partial(jax.jit, static_argnames=("p_start", "min_len"))
-def _viterbi(codes, e, start_bonus, stop_bonus, rev_begin_bonus, rev_end_bonus,
-             p_start: float, min_len: int, log_indel):
-    b, l = codes.shape
+def _transition_table(log_stay, log_go, log_indel):
+    """Static [from, to] log-transition matrix (position bonuses are the
+    rank-1 terms added per step in _viterbi; see its docstring)."""
     neg_big = jnp.float32(-1e9)
-    log_stay = jnp.float32(np.log1p(-2 * p_start))
-    log_go = jnp.float32(np.log(p_start))
+    tb = jnp.full((NSTATE, NSTATE), neg_big)
+    # noncoding: stay; forward/reverse genes close into NC (+stop bonuses)
+    tb = tb.at[NC, NC].set(log_stay)
+    tb = tb.at[F3, NC].set(0.0)
+    tb = tb.at[R3, NC].set(0.0)
+    # forward gene: open from NC (+start bonus), codon loop
+    tb = tb.at[NC, F1].set(log_go)
+    tb = tb.at[F3, F1].set(0.0)
+    tb = tb.at[F1, F2].set(0.0)
+    tb = tb.at[F2, F3].set(0.0)
+    # reverse gene: opens with a (revcomp) stop, closes with a rev start
+    tb = tb.at[NC, R1].set(log_go)
+    tb = tb.at[R3, R1].set(0.0)
+    tb = tb.at[R1, R2].set(0.0)
+    tb = tb.at[R2, R3].set(0.0)
+    # sequencing errors (log_indel = -1e9 prunes them):
+    # insertions detour through FI/RI (self-loop for runs) ...
+    tb = tb.at[F1, FI1].set(log_indel)
+    tb = tb.at[FI1, FI1].set(log_indel)
+    tb = tb.at[FI1, F2].set(0.0)
+    tb = tb.at[F2, FI2].set(log_indel)
+    tb = tb.at[FI2, FI2].set(log_indel)
+    tb = tb.at[FI2, F3].set(0.0)
+    tb = tb.at[R1, RI1].set(log_indel)
+    tb = tb.at[RI1, RI1].set(log_indel)
+    tb = tb.at[RI1, R2].set(0.0)
+    tb = tb.at[R2, RI2].set(log_indel)
+    tb = tb.at[RI2, RI2].set(log_indel)
+    tb = tb.at[RI2, R3].set(0.0)
+    # ... deletions skip one codon position
+    tb = tb.at[F1, F3].set(log_indel)
+    tb = tb.at[F2, F1].set(log_indel)
+    tb = tb.at[F3, F2].set(log_indel)
+    tb = tb.at[R1, R3].set(log_indel)
+    tb = tb.at[R2, R1].set(log_indel)
+    tb = tb.at[R3, R2].set(log_indel)
+    return tb
 
-    def step(carry, xs):
-        dp = carry  # [B, NSTATE]
-        e_i, sb_i, pb_i, rbb_i, reb_i = xs  # emissions/bonuses at position i
-        cand = jnp.full((b, NSTATE, NSTATE), neg_big)  # [B, to, from]
-        # noncoding: stay, or close a forward gene (stop), or close a rev gene
-        cand = cand.at[:, NC, NC].set(dp[:, NC] + log_stay)
-        cand = cand.at[:, NC, F3].set(dp[:, F3] + pb_i)
-        cand = cand.at[:, NC, R3].set(dp[:, R3] + reb_i)
-        # forward gene: open from nc (start codon bonus), or codon loop
-        cand = cand.at[:, F1, NC].set(dp[:, NC] + log_go + sb_i)
-        cand = cand.at[:, F1, F3].set(dp[:, F3])
-        cand = cand.at[:, F2, F1].set(dp[:, F1])
-        cand = cand.at[:, F3, F2].set(dp[:, F2])
-        # reverse gene: opens with a (revcomp) stop, closes with a rev start
-        cand = cand.at[:, R1, NC].set(dp[:, NC] + log_go + rbb_i)
-        cand = cand.at[:, R1, R3].set(dp[:, R3])
-        cand = cand.at[:, R2, R1].set(dp[:, R1])
-        cand = cand.at[:, R3, R2].set(dp[:, R2])
-        # sequencing errors (log_indel = -inf compiles them away):
-        # insertions detour through FI/RI (self-loop for runs) ...
-        cand = cand.at[:, FI1, F1].set(dp[:, F1] + log_indel)
-        cand = cand.at[:, FI1, FI1].set(dp[:, FI1] + log_indel)
-        cand = cand.at[:, F2, FI1].set(dp[:, FI1])
-        cand = cand.at[:, FI2, F2].set(dp[:, F2] + log_indel)
-        cand = cand.at[:, FI2, FI2].set(dp[:, FI2] + log_indel)
-        cand = cand.at[:, F3, FI2].set(dp[:, FI2])
-        cand = cand.at[:, RI1, R1].set(dp[:, R1] + log_indel)
-        cand = cand.at[:, RI1, RI1].set(dp[:, RI1] + log_indel)
-        cand = cand.at[:, R2, RI1].set(dp[:, RI1])
-        cand = cand.at[:, RI2, R2].set(dp[:, R2] + log_indel)
-        cand = cand.at[:, RI2, RI2].set(dp[:, RI2] + log_indel)
-        cand = cand.at[:, R3, RI2].set(dp[:, RI2])
-        # ... deletions skip one codon position
-        cand = cand.at[:, F3, F1].set(dp[:, F1] + log_indel)
-        cand = cand.at[:, F1, F2].set(dp[:, F2] + log_indel)
-        cand = cand.at[:, F2, F3].set(dp[:, F3] + log_indel)
-        cand = cand.at[:, R3, R1].set(dp[:, R1] + log_indel)
-        cand = cand.at[:, R1, R2].set(dp[:, R2] + log_indel)
-        cand = cand.at[:, R2, R3].set(dp[:, R3] + log_indel)
-        best_from = jnp.argmax(cand, axis=2).astype(jnp.int8)
-        dp_new = jnp.max(cand, axis=2) + e_i
+
+def _viterbi(e, start_bonus, stop_bonus, rev_begin_bonus, rev_end_bonus,
+             dp0, p_start, log_indel):
+    """Viterbi decode, batched over rows of e [B, L, NSTATE].
+
+    The scan step is three fused ops: the [B, from, to] candidate tensor is
+    dp + a STATIC transition table + two rank-1 position-bonus terms (the
+    four position-dependent edges all touch NC: gene opens NC->F1/R1 carry
+    the start/rev-begin bonus on the `to` side, gene closes F3/R3->NC carry
+    the stop/rev-end bonus on the `from` side).  The earlier formulation
+    scatter-built the candidate tensor edge by edge (25 ops/position) and
+    ran ~40x slower at whole-genome lengths."""
+    b = e.shape[0]
+    tb = _transition_table(jnp.log1p(-2.0 * p_start), jnp.log(p_start),
+                           log_indel)
+    onehot_nc = jnp.zeros(NSTATE, jnp.float32).at[NC].set(1.0)
+    # from-side bonuses (edges *->NC): F3 carries the forward stop bonus,
+    # R3 the reverse gene's closing (rev start) bonus
+    zeros = jnp.zeros(e.shape[:2] + (NSTATE,), jnp.float32)
+    from_bon = zeros.at[:, :, F3].set(stop_bonus).at[:, :, R3].set(
+        rev_end_bonus)
+    to_bon = zeros.at[:, :, F1].set(start_bonus).at[:, :, R1].set(
+        rev_begin_bonus)
+    nc_to = onehot_nc[None, None, :]
+    nc_from = onehot_nc[None, :, None]
+
+    def step(dp, xs):
+        e_i, a_i, c_i = xs  # [B, NSTATE] each
+        cand = (dp[:, :, None] + tb[None, :, :]
+                + a_i[:, :, None] * nc_to + nc_from * c_i[:, None, :])
+        best_from = jnp.argmax(cand, axis=1).astype(jnp.int8)
+        dp_new = jnp.max(cand, axis=1) + e_i
         return dp_new, best_from
 
-    e_t = jnp.moveaxis(e, 1, 0)
-    xs = (
-        e_t,
-        jnp.moveaxis(start_bonus, 1, 0),
-        jnp.moveaxis(stop_bonus, 1, 0),
-        jnp.moveaxis(rev_begin_bonus, 1, 0),
-        jnp.moveaxis(rev_end_bonus, 1, 0),
-    )
-    dp0 = jnp.full((b, NSTATE), neg_big).at[:, NC].set(0.0)
-    dp_final, bps = jax.lax.scan(step, dp0, xs)  # bps [L, B, 7]
+    xs = (jnp.moveaxis(e, 1, 0), jnp.moveaxis(from_bon, 1, 0),
+          jnp.moveaxis(to_bon, 1, 0))
+    dp_final, bps = jax.lax.scan(step, dp0, xs)  # bps [L, B, NSTATE]
 
     # backtrace
     last = jnp.argmax(dp_final, axis=1).astype(jnp.int8)  # [B]
 
-    def back(carry, bp_i):
-        st = carry  # [B]
+    def back(st, bp_i):
         prev = jnp.take_along_axis(bp_i, st[:, None].astype(jnp.int32), axis=1)[:, 0]
         return prev, st
 
     _, path_rev = jax.lax.scan(back, last, bps, reverse=True)
     return path_rev  # [L, B] states
+
+
+@functools.partial(jax.jit, static_argnames=("has_di",))
+def _decode_windows(codes, codon_lu, dicodon_lu, start_b, stop_b, p_start,
+                    log_indel, dp0, *, has_di: bool):
+    """codes [B, W] -> decoded state paths [B, W] (one fused program:
+    emission/bonus precompute + Viterbi scan + backtrace)."""
+    e, sb, pb, rbb, reb = _precompute_scores(
+        codes, codon_lu, dicodon_lu if has_di else None, start_b, stop_b)
+    path = _viterbi(e, sb, pb, rbb, reb, dp0, p_start, log_indel)
+    return jnp.moveaxis(path, 0, 1)  # [B, W]
 
 
 def _translate(nt: str) -> str:
@@ -509,6 +536,84 @@ def _correct_span(seq: bytes, path: np.ndarray, s0: int, e0: int) -> str:
     return "".join(out)
 
 
+#: whole-genome decoding window: contigs longer than _WINDOW split into
+#: batched overlapping windows (TPU gets batch parallelism instead of one
+#: multi-hundred-thousand-step serial scan; the reference tool gets its
+#: parallelism the same way — across reads/records,
+#: FragGeneScanRs.rs:225-243 chunked(100) rayon)
+_WINDOW = 8192
+#: per-side overlap: Viterbi forgets the window boundary well within this
+#: (the correct frame beats wrong frames by ~1 nat/codon, so a few hundred
+#: bases pin it); core labels are then boundary-insensitive and stitch
+#: cleanly
+_OVERLAP = 1024
+#: max windows decoded per device dispatch
+_MAX_BATCH = 64
+
+_NEG_BIG = -1e9
+
+
+def _decode_path(codes: np.ndarray, p: GenePredParams, codon_lu,
+                 dicodon_lu) -> np.ndarray:
+    """Full-contig Viterbi state path [L] via batched overlapping windows."""
+    l = len(codes)
+    start_b = jnp.float32(p.start_codon_bonus)
+    stop_b = jnp.float32(p.stop_bonus)
+    p_start = jnp.float32(p.p_gene_start)
+    log_indel = jnp.float32(np.log(p.indel_rate) if p.allow_indels else _NEG_BIG)
+    clu = jnp.asarray(codon_lu)
+    has_di = dicodon_lu is not None
+    dlu = jnp.asarray(dicodon_lu) if has_di else jnp.zeros((64, 64), jnp.float32)
+
+    def run(win_codes: np.ndarray, first_row0: bool) -> np.ndarray:
+        nb, w = win_codes.shape
+        dp0 = np.zeros((nb, NSTATE), np.float32)
+        if first_row0:
+            # true sequence start: begin in NC (interior windows may open
+            # mid-gene, so they start unconstrained)
+            dp0[0, :] = _NEG_BIG
+            dp0[0, NC] = 0.0
+        return np.asarray(_decode_windows(
+            jnp.asarray(win_codes), clu, dlu, start_b, stop_b, p_start,
+            log_indel, jnp.asarray(dp0), has_di=has_di))
+
+    if l <= _WINDOW:
+        # single window, padded to a power-of-two bucket for program reuse
+        target = 1 << 12
+        while target < l:
+            target <<= 1
+        win = np.pad(codes, (0, target - l), constant_values=255)[None, :]
+        return run(win, True)[0, :l]
+
+    core = _WINDOW - 2 * _OVERLAP
+    n_win = -(-l // core)
+    wins = np.full((n_win, _WINDOW), 255, np.uint8)
+    spans = []  # (win_index, core offset within window, core start, core len)
+    for i in range(n_win):
+        c0 = i * core
+        clen = min(core, l - c0)
+        w0 = max(c0 - _OVERLAP, 0)
+        take = min(_WINDOW, l - w0)
+        wins[i, :take] = codes[w0 : w0 + take]
+        spans.append((i, c0 - w0, c0, clen))
+
+    path = np.empty(l, np.int8)
+    for b0 in range(0, n_win, _MAX_BATCH):
+        chunk = wins[b0 : b0 + _MAX_BATCH]
+        nb = chunk.shape[0]
+        bucket = 8
+        while bucket < nb:
+            bucket <<= 1
+        bucket = min(bucket, _MAX_BATCH)
+        if bucket > nb:
+            chunk = np.concatenate(
+                [chunk, np.full((bucket - nb, _WINDOW), 255, np.uint8)], 0)
+        out = run(chunk, first_row0=b0 == 0)
+        for i, off, c0, clen in spans[b0 : b0 + _MAX_BATCH]:
+            path[c0 : c0 + clen] = out[i - b0, off : off + clen]
+    return path
+
+
 def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene]:
     """Call genes on one contig. Returns Gene records with translations."""
     from ..io.codec import encode_dna
@@ -526,18 +631,7 @@ def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene
         nv = int(valid.sum())
         cg = 100.0 * float(((codes == 1) | (codes == 2)).sum()) / max(nv, 1)
         codon_lu, dicodon_lu = p.model.tables_for(cg)
-    # pad to power-of-two-ish buckets so contigs of any length reuse a
-    # handful of compiled Viterbi programs
-    target = 1 << 12
-    while target < l:
-        target <<= 1
-    codes_j = jnp.asarray(np.pad(codes, (0, target - l), constant_values=255))[None, :]
-    e, sb, pb, rbb, reb = _precompute_scores(codes_j, p, codon_lu, dicodon_lu)
-    log_indel = jnp.float32(np.log(p.indel_rate) if p.allow_indels else -1e9)
-    path = np.asarray(
-        _viterbi(codes_j, e, sb, pb, rbb, reb, p.p_gene_start, p.min_gene_len,
-                 log_indel)
-    )[:, 0][:l]
+    path = _decode_path(codes, p, codon_lu, dicodon_lu)
 
     genes: List[Gene] = []
     coding_f = ((path >= F1) & (path <= F3)) | (path == FI1) | (path == FI2)

@@ -23,12 +23,16 @@ HMMER3's default configuration exactly (multihit local Plan7 with the
 length-dependent N/J/C loop model and null1 subtraction — p7_ProfileConfig
 + p7_ReconfigLength, Eddy 2011): entry t(B->Mk) = 2(L-k+1)/(L(L+1)), exit
 t(Mk->E) = 1, insert log-odds 0, N/J/C self-loops log(L/(L+2)), moves
-log(2/(L+2)), E->{J,C} log(1/2).  scripts/hmmsearch_fidelity.py verifies
-bit scores against an independent float64 oracle on the real GTDB marker
-profiles (residual = float32 rounding).  Documented deviations from the
-full hmmsearch pipeline: Viterbi scores only (no Forward rescoring) and
-no null2 biased-composition correction.  E-values use the profile's
-calibrated `STATS LOCAL VITERBI tau lambda` Gumbel right tail:
+log(2/(L+2)), E->{J,C} log(1/2).  Both decoders are implemented: Viterbi
+(optimal alignment — the fast-filter score) and Forward (summed
+alignments — the score real hmmsearch reports and applies GA cutoffs to).
+scripts/hmmsearch_fidelity.py verifies bit scores against an independent
+float64 re-implementation on the real GTDB marker profiles (residual =
+float32 rounding; this validates internal consistency and numerics, not
+byte parity with HMMER itself, which is not in the image).  Documented
+deviation from the full hmmsearch pipeline: no null2 biased-composition
+correction.  E-values use the profile's calibrated `STATS LOCAL VITERBI`
+(Gumbel) or `STATS LOCAL FORWARD` (exponential) right tail:
 P = exp(-lambda (bits - tau)), E = P * n_targets.
 """
 
@@ -68,6 +72,7 @@ class ProfileHMM:
     trans: np.ndarray          # [L+1, 7] f32
     ga: float = math.nan       # GA gathering cutoff (bits), nan if absent
     stats_vit: tuple = ()      # (tau, lambda) from STATS LOCAL VITERBI
+    stats_fwd: tuple = ()      # (tau, lambda) from STATS LOCAL FORWARD
     desc: str = ""
 
 
@@ -91,6 +96,7 @@ def _parse_one(lines):
     name = acc = desc = ""
     ga = math.nan
     stats_vit = ()
+    stats_fwd = ()
     length = 0
     header_seen = False
     for ln in lines:
@@ -111,6 +117,8 @@ def _parse_one(lines):
             ga = float(t[1])
         elif t[0] == "STATS" and len(t) >= 5 and t[2] == "VITERBI":
             stats_vit = (float(t[3]), float(t[4]))
+        elif t[0] == "STATS" and len(t) >= 5 and t[2] == "FORWARD":
+            stats_fwd = (float(t[3]), float(t[4]))
         elif t[0] == "HMM":
             break
     else:
@@ -155,7 +163,7 @@ def _parse_one(lines):
         name=name, acc=acc, length=L,
         match_logodds=lo.astype(np.float32),
         trans=(-trans).astype(np.float32),  # ln p (inf -> -inf)
-        ga=ga, stats_vit=stats_vit, desc=desc,
+        ga=ga, stats_vit=stats_vit, stats_fwd=stats_fwd, desc=desc,
     )
 
 
@@ -259,6 +267,92 @@ def _viterbi_block(msc, tr, tbm, seqs, lens, multihit=True):
     return bestC + move[None, :] - null1[None, :]
 
 
+@functools.partial(jax.jit, static_argnames=("multihit",))
+def _forward_block(msc, tr, tbm, seqs, lens, multihit=True):
+    """Local Plan7 Forward — the logsumexp twin of _viterbi_block.
+
+    Same length model, same [H, B] nats-numerator output; max -> logaddexp
+    throughout.  Real `hmmsearch` reports Forward bit scores after its
+    filter pipeline (p7_Pipeline, Eddy 2011), so GA-threshold decisions
+    follow this score.  The within-row delete chain
+    D[j] = logaddexp(M[j-1]+tMD[j-1], D[j-1]+tDD[j-1]) is a first-order
+    log-linear recurrence along j, computed with an associative scan
+    (combine: (a1,b1)*(a2,b2) = (a1+a2, logaddexp(b1+a2, b2))) — no inner
+    loop, O(log L) depth like the Viterbi cummax."""
+    Hn, Lp1, _ = msc.shape
+    tMM, tMI, tMD = tr[..., 0], tr[..., 1], tr[..., 2]
+    tIM, tII = tr[..., 3], tr[..., 4]
+    tDM, tDD = tr[..., 5], tr[..., 6]
+
+    def shift1(a):
+        return jnp.pad(a[..., :-1], [(0, 0)] * (a.ndim - 1) + [(1, 0)],
+                       constant_values=-jnp.inf)
+
+    tMMs, tIMs, tDMs = shift1(tMM), shift1(tIM), shift1(tDM)
+    tMDs, tDDs = shift1(tMD), shift1(tDD)
+    neg = jnp.float32(-1e30)
+    B = seqs.shape[0]
+
+    log_ej = jnp.float32(math.log(0.5)) if multihit else neg  # E->J
+    log_ec = jnp.float32(math.log(0.5) if multihit else 0.0)  # E->C
+    Lf = jnp.maximum(lens.astype(jnp.float32), 1.0)
+    loop = jnp.log(Lf / (Lf + 2.0))                       # [B] N/J/C self
+    move = jnp.log(2.0 / (Lf + 2.0))                      # [B] ->B / C->T
+    null1 = Lf * jnp.log(Lf / (Lf + 1.0)) + jnp.log(1.0 / (Lf + 1.0))
+
+    def lse(a, b):
+        return jnp.logaddexp(a, b)
+
+    def dd_chain(Mn):
+        # D[j] = logaddexp(b[j], a[j] + D[j-1]) with a[j] = tDD[j-1],
+        # b[j] = M[j-1] + tMD[j-1]; solved by associative scan over j
+        a = jnp.broadcast_to(tDDs[:, None, :], Mn.shape)
+        bq = shift1(Mn + tMD[:, None, :])
+
+        def comb(x, y):
+            a1, b1 = x
+            a2, b2 = y
+            return a1 + a2, lse(b1 + a2, b2)
+
+        _, D = jax.lax.associative_scan(comb, (a, bq), axis=2)
+        return jnp.maximum(D, neg)
+
+    def step(carry, xi):
+        M, I, D, J, C = carry      # [H, B, L+1] x3, [H, B] x2
+        x, alive, t = xi           # [B] int32, [B] bool, scalar int32
+        em = msc.transpose(0, 2, 1)           # [H, 20, L+1]
+        em_x = em[:, x, :]                    # [H, B, L+1]
+        xN_prev = t.astype(jnp.float32) * loop           # [B]
+        b_prev = move[None, :] + lse(xN_prev[None, :], J)
+        cand = lse(
+            lse(shift1(M) + tMMs[:, None, :], shift1(I) + tIMs[:, None, :]),
+            lse(shift1(D) + tDMs[:, None, :],
+                tbm[:, None, :] + b_prev[:, :, None]),
+        )
+        Mn = jnp.maximum(em_x + cand, neg)
+        Dn = dd_chain(Mn)
+        In = jnp.maximum(
+            lse(M + tMI[:, None, :], I + tII[:, None, :]), neg)
+        # exit t(Mk->E) = 1 (uniform local): E = logsumexp_k M[k]
+        mmax = jnp.max(Mn, axis=2)
+        e_i = mmax + jnp.log(jnp.sum(
+            jnp.exp(Mn - mmax[:, :, None]), axis=2))
+        Jn = jnp.where(alive[None, :], lse(J + loop[None, :], e_i + log_ej), J)
+        Cn = jnp.where(alive[None, :], lse(C + loop[None, :], e_i + log_ec), C)
+        keep = alive[None, :, None]
+        return (jnp.where(keep, Mn, M), jnp.where(keep, In, I),
+                jnp.where(keep, Dn, D), Jn, Cn), None
+
+    M0 = jnp.full((Hn, B, Lp1), neg, jnp.float32)
+    T = seqs.shape[1]
+    alive = (jnp.arange(T)[None, :] < lens[:, None])
+    (_, _, _, _, sumC), _ = jax.lax.scan(
+        step, (M0, M0, M0, jnp.full((Hn, B), neg, jnp.float32),
+               jnp.full((Hn, B), neg, jnp.float32)),
+        (seqs.T, alive.T, jnp.arange(T, dtype=jnp.int32)))
+    return sumC + move[None, :] - null1[None, :]
+
+
 class HmmSearcher:
     """Batched search of protein sequences against a set of profiles."""
 
@@ -276,8 +370,15 @@ class HmmSearcher:
         approximation here)."""
         return np.array([_AA_INDEX.get(c, 0) for c in seq.upper()], np.int32)
 
-    def score(self, seqs: Sequence[np.ndarray]) -> np.ndarray:
-        """Returns bit scores [n_profiles, n_seqs]."""
+    def score(self, seqs: Sequence[np.ndarray],
+              algo: str = "viterbi") -> np.ndarray:
+        """Returns bit scores [n_profiles, n_seqs].
+
+        algo="viterbi": optimal-alignment scores (fast filter semantics).
+        algo="forward": summed-alignment scores — what real hmmsearch
+        reports and applies GA cutoffs to (p7_Pipeline)."""
+        block_fn = {"viterbi": _viterbi_block,
+                    "forward": _forward_block}[algo]
         B = len(seqs)
         lens = np.array([len(s) for s in seqs], np.int32)
         out = np.empty((len(self.profiles), B), np.float32)
@@ -296,18 +397,24 @@ class HmmSearcher:
                 block[r, : lens[i]] = seqs[i]
             ln = np.zeros(bpad, np.int32)
             ln[:bb] = lens[np.asarray(take)]
-            nats = np.asarray(_viterbi_block(
+            nats = np.asarray(block_fn(
                 self._msc, self._tr, self._tbm,
                 jnp.asarray(block), jnp.asarray(ln), multihit=self.multihit))
             out[:, np.asarray(take)] = nats[:, :bb]
         return out / np.float32(math.log(2.0))  # nats -> bits
 
-    def evalues(self, bits: np.ndarray, n_targets: int) -> np.ndarray:
-        """Gumbel-tail E-values from each profile's STATS LOCAL VITERBI."""
+    def evalues(self, bits: np.ndarray, n_targets: int,
+                algo: str = "viterbi") -> np.ndarray:
+        """Tail E-values from each profile's calibration line: Gumbel for
+        Viterbi (STATS LOCAL VITERBI), exponential for Forward (STATS
+        LOCAL FORWARD) — both P = exp(-lambda (bits - tau)) in the tail."""
         ev = np.full_like(bits, np.nan, dtype=np.float64)
         for h, p in enumerate(self.profiles):
-            if p.stats_vit:
-                tau, lam = p.stats_vit
-                ev[h] = n_targets * np.exp(
-                    -lam * (bits[h].astype(np.float64) - tau))
+            stats = p.stats_fwd if algo == "forward" else p.stats_vit
+            if stats:
+                tau, lam = stats
+                pv = np.exp(-lam * (bits[h].astype(np.float64) - tau))
+                if algo == "forward":
+                    pv = np.minimum(pv, 1.0)  # exponential survival caps at 1
+                ev[h] = n_targets * pv
         return ev

@@ -153,7 +153,7 @@ def _round_up_int(x: int, m: int) -> int:
 
 def _gather_eq_kernel(ids_ref, q_ref, db_ref, o_ref, rowbuf, sem,
                       *, s_true: int, r: int, qblk: int,
-                      halves: bool = False):
+                      parts: int = 1):
     """One grid step scores `qblk` queries against their R candidates.
 
     db_ref [N, 8, Sp/8] lives in HBM (memory_space ANY); each candidate
@@ -198,12 +198,22 @@ def _gather_eq_kernel(ids_ref, q_ref, db_ref, o_ref, rowbuf, sem,
             # double-buffer: next query's DMAs overlap this compute
             issue(qi + 1, (qi + 1) % 2)
         # keep every intermediate rank-2 (Mosaic layouts want >= 2 dims)
-        if halves:
+        if parts == 2:
             # each u32 lane packs TWO 16-bit hashed slots (compact rerank,
             # ops/mxu.py): count equal halves
             x = rowbuf[qi % nbuf] ^ q_ref[qi][None]
             eq2 = (((x & jnp.uint32(0xFFFF)) == 0).astype(jnp.float32)
                    + ((x >> jnp.uint32(16)) == 0).astype(jnp.float32)).sum(axis=2)
+        elif parts == 4:
+            # FOUR 8-bit hashed slots per u32 lane (full-width tier for
+            # databases whose 16-bit form would not fit HBM): count equal
+            # bytes
+            x = rowbuf[qi % nbuf] ^ q_ref[qi][None]
+            eq2 = sum(
+                (((x >> jnp.uint32(8 * b)) & jnp.uint32(0xFF)) == 0)
+                .astype(jnp.float32)
+                for b in range(4)
+            ).sum(axis=2)
         else:
             eq2 = (rowbuf[qi % nbuf] == q_ref[qi][None]).astype(jnp.float32).sum(axis=2)
         eqc = eq2.sum(axis=1, keepdims=True)  # [r, 1]
@@ -214,10 +224,11 @@ def _gather_eq_kernel(ids_ref, q_ref, db_ref, o_ref, rowbuf, sem,
             issue(qi + 1, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("s_true", "interpret", "halves"))
+@functools.partial(jax.jit,
+                   static_argnames=("s_true", "interpret", "halves", "parts"))
 def gather_hamming_pallas(
     db: jnp.ndarray, q: jnp.ndarray, ids: jnp.ndarray, *, s_true: int,
-    interpret: bool = False, halves: bool = False,
+    interpret: bool = False, halves: bool = False, parts: int = 0,
 ) -> jnp.ndarray:
     """Row-gather + equal-count distance without an XLA gather.
 
@@ -237,6 +248,9 @@ def gather_hamming_pallas(
     lowers to a whole-matrix layout copy — 24 GB of HLO temps at 262k."""
     from jax.experimental.pallas import tpu as pltpu
 
+    # parts: packed hashed slots per u32 lane (1 = raw u32 slots, 2 = u16
+    # halves, 4 = u8 quarters); `halves` is the legacy spelling of parts=2
+    parts = parts or (2 if halves else 1)
     qc, r = ids.shape
     if db.ndim == 3:
         assert db.shape[1] == 8
@@ -273,7 +287,7 @@ def gather_hamming_pallas(
     )
     return pl.pallas_call(
         functools.partial(_gather_eq_kernel, s_true=s_true, r=r, qblk=qblk,
-                          halves=halves),
+                          parts=parts),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((qc, r), jnp.float32),
         interpret=interpret,

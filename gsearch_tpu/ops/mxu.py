@@ -121,6 +121,30 @@ def _pack_hash16(rows_u32: jnp.ndarray, *, spad: int, pad_val: int) -> jnp.ndarr
     return packed.reshape(r, 8, spad // 16)
 
 
+@functools.partial(jax.jit, static_argnames=("spad", "pad_val"))
+def _pack_hash8(rows_u32: jnp.ndarray, *, spad: int, pad_val: int) -> jnp.ndarray:
+    """[R, S] u32 -> [R, 8, spad/32] u32: 8-bit slot hashes packed in fours.
+
+    Quarter-width sibling of _pack_hash16 for databases whose 16-bit
+    full-width form would not fit HBM (524k x 12000 needs 12.9 GB at 16
+    bits but 6.4 GB at 8).  Unequal slots' hashes collide with probability
+    2^-8: at S=12000 and neighbor distances ~0.1 the expected inflation is
+    ~5 equal slots with sd ~2 — far below the 16-bit-tier-over-a-SAMPLE
+    noise it replaces (sd ~20 slots when only 8192/12000 slots fit), which
+    is what capped 524k recall at 0.982 (DIAG524K.json: pool 1.0, exact
+    rerank 0.9988, packed-sample 0.982).  spad must be a multiple of 4096
+    so the packed lane count spad/4 keeps the kernel's 1024-lane rule."""
+    r, s = rows_u32.shape
+    h = mix32(rows_u32, _RERANK_SEED) >> jnp.uint32(24)  # [R, S] in [0, 2^8)
+    if spad > s:
+        h = jnp.concatenate(
+            [h, jnp.full((r, spad - s), jnp.uint32(pad_val))], axis=1)
+    packed = (h[:, 0::4] | (h[:, 1::4] << jnp.uint32(8))
+              | (h[:, 2::4] << jnp.uint32(16))
+              | (h[:, 3::4] << jnp.uint32(24)))  # [R, spad/4]
+    return packed.reshape(r, 8, spad // 32)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("m", "spad"))
 def _init_write_compact(db_exp, packed3, rows_u32, start, *, m, spad):
     """Compact-mode sibling of _init_write: expand + pack one row chunk

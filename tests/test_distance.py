@@ -122,3 +122,31 @@ def test_gather_pallas_halves_mode(rng):
         jnp.asarray(db), jnp.asarray(q), jnp.asarray(ids), s_true=s_true,
         interpret=True, halves=True))
     np.testing.assert_allclose(d, want, atol=1e-6)
+
+
+def test_gather_pallas_quarters_mode(rng):
+    """parts=4 counts equal 8-bit quarters of u32 lanes (the full-width
+    packed8 rerank tier): matches a numpy byte-unpack oracle."""
+    from gsearch_tpu.ops.distance import gather_hamming_pallas
+
+    s_true, sp = 3900, 1024  # 3900 hashed slots packed into 975 (+pad) lanes
+    qc, r, n = 8, 16, 64
+    q_db = rng.integers(0, 4, size=(n, 4 * sp)).astype(np.uint32)
+    q_q = rng.integers(0, 4, size=(qc, 4 * sp)).astype(np.uint32)
+    q_db[:, s_true:] = 0  # db col pads 0
+    q_q[:, s_true:] = 1   # query col pads 1
+    db = (q_db[:, 0::4] | (q_db[:, 1::4] << 8)
+          | (q_db[:, 2::4] << 16) | (q_db[:, 3::4] << 24))
+    q = (q_q[:, 0::4] | (q_q[:, 1::4] << 8)
+         | (q_q[:, 2::4] << 16) | (q_q[:, 3::4] << 24))
+    ids = rng.integers(0, n, size=(qc, r)).astype(np.int32)
+
+    want = np.empty((qc, r), np.float32)
+    for i in range(qc):
+        eq = (q_db[ids[i], :s_true] == q_q[i, :s_true]).sum(1)
+        want[i] = (s_true - eq) / np.float32(s_true)
+
+    d = np.asarray(gather_hamming_pallas(
+        jnp.asarray(db), jnp.asarray(q), jnp.asarray(ids), s_true=s_true,
+        interpret=True, parts=4))
+    np.testing.assert_allclose(d, want, atol=1e-6)

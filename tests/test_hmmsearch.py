@@ -91,7 +91,11 @@ def test_cli_tsv_output(tmp_path, rng):
 
     motif = "WCHWMYWCHW"
     hmmf = tmp_path / "m.hmm"
-    _write_motif_hmm(hmmf, motif)
+    # GA sits between the decoy's Forward score (~13 bits: a short profile
+    # on a 120-residue random sequence gains ~log2(#alignments) over its
+    # Viterbi ~4.5) and the hit's (~56 bits) — the CLI applies GA to the
+    # Forward score, as real hmmsearch does
+    _write_motif_hmm(hmmf, motif, ga=25.0)
     aas = np.array(list(HMM_ALPHABET))
     faa = tmp_path / "p.faa"
     rec1 = "".join(rng.choice(aas, 60)) + motif
@@ -103,7 +107,30 @@ def test_cli_tsv_output(tmp_path, rng):
     assert body[0].startswith("# seq_name")
     rows = [l.split("\t") for l in body[1:]]
     assert [r[0] for r in rows] == ["hit_protein"]  # decoy filtered by GA
-    assert rows[0][1] == "TestMotif" and rows[0][5] == "1"
+    assert rows[0][1] == "TestMotif" and rows[0][6] == "1"
+    # forward bits (col 3) >= viterbi bits (col 4): sum over alignments
+    assert float(rows[0][3]) >= float(rows[0][4]) - 1e-3
+
+
+def test_forward_ge_viterbi(tmp_path, rng):
+    """Forward sums over alignments, so it must dominate Viterbi for every
+    (profile, sequence) pair."""
+    from gsearch_tpu.models.hmmprofile import HmmSearcher, parse_hmmer3
+
+    motif = "WCHWMYWCHW"
+    hmmf = tmp_path / "m.hmm"
+    _write_motif_hmm(hmmf, motif)
+    profs = parse_hmmer3(str(hmmf))
+    aas = np.array(list(HMM_ALPHABET))
+    seqs = [HmmSearcher.encode("".join(rng.choice(aas, ln)) + tail)
+            for ln, tail in ((60, motif), (120, ""), (40, motif + motif))]
+    s = HmmSearcher(profs)
+    vit = s.score(seqs, algo="viterbi")
+    fwd = s.score(seqs, algo="forward")
+    assert (fwd >= vit - 1e-3).all()
+    # the two-copy sequence gains more from multihit Forward than the
+    # single-copy one does
+    assert fwd[0, 2] > fwd[0, 0]
 
 
 def test_universal_gene_level_chain(tmp_path, rng):

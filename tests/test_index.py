@@ -282,6 +282,38 @@ def test_packed_rerank_matches_exact(rng, monkeypatch):
     assert same >= 0.95, f"packed/exact neighbor overlap {same:.3f}"
 
 
+def test_packed8_rerank_matches_exact(rng, monkeypatch):
+    """The 8-bit full-width packed tier (chosen when the 16-bit form would
+    not cover all slots within HBM — the 524k x 12000 regime) returns the
+    exact tier's neighbors up to 2^-8-per-slot collision noise."""
+    from gsearch_tpu.index import hnsw as hnsw_mod
+
+    n, s, k = 3000, 4096, 10
+    sigs = _sig_cloud(rng, n + 16, s, n_clusters=24)
+    db, queries = sigs[:n], sigs[n:]
+    hnsw = HnswIndex(sketch_size=s, sig_dtype=np.uint32, max_nb_conn=16,
+                     ef_construction=64, search_prefix=1024)
+    hnsw.insert(db, bulk=False)
+
+    d_exact, ids_exact = hnsw.search(queries, knbn=k, ef_search=96)
+    # shrink the device budget so the 16-bit tier cannot cover all 4096
+    # slots but the 8-bit full-width tier fits:
+    #   16-bit needs 2*s = 8192 B/row, 8-bit needs s = 4096 B/row
+    nbp1 = 4096 + 1
+    budget = int(nbp1 * 6000 / 0.7)  # 6000 B/row of 0.7*budget
+    monkeypatch.setenv("GSEARCH_TPU_FORCE_PACKED_RERANK", "1")
+    monkeypatch.setattr(hnsw_mod, "_RERANK_DEVICE_BYTES", budget)
+    assert hnsw._rerank_tier()[0] == "packed8"
+    d_packed, ids_packed = hnsw.search(queries, knbn=k, ef_search=96)
+
+    assert hnsw._device_packed is not None and hnsw._device_packed[1] == 8
+    np.testing.assert_allclose(np.sort(d_packed, 1), np.sort(d_exact, 1),
+                               atol=16.0 / s)
+    same = np.mean([len(set(ids_packed[i]) & set(ids_exact[i])) / k
+                    for i in range(len(queries))])
+    assert same >= 0.9, f"packed8/exact neighbor overlap {same:.3f}"
+
+
 def test_hnsw_bulk_add_recall(rng):
     """Bulk append (_bulk_add: MXU sweep of the new batch + single reverse
     merge) matches the recall of a FRESH bulk build of the same points —

@@ -19,18 +19,34 @@ from gsearch_tpu.index.serialize import load_index
 
 
 def _write_reference_dump(d, sigs, *, algo="OPTDENS", kmer=16,
-                          record_magic=True, record_len=True):
+                          record_magic=True, record_len=True,
+                          len_kind="u64", file_header=b""):
     """Synthesize a reference DB dir: hnsw_rs-style .data records
-    ([u32 magic][u64 DataId][u64 len][payload]; variants drop the magic or
-    the length), streamed-concatenated seqdict.json, parameters.json."""
+    ([u32 magic][u64 DataId][length][payload]; variants drop the magic or
+    the length, or encode the length as a bincode-2-style varint),
+    streamed-concatenated seqdict.json, parameters.json."""
     n, dim = sigs.shape
+
+    def pack_len(nbytes: int) -> bytes:
+        if len_kind == "u64":
+            return struct.pack("<Q", dim)
+        if len_kind == "u32":
+            return struct.pack("<I", dim)
+        # bincode 2 varint: <251 one byte, 0xFB+u16, 0xFC+u32, 0xFD+u64
+        if nbytes < 251:
+            return struct.pack("<B", nbytes)
+        if nbytes <= 0xFFFF:
+            return b"\xfb" + struct.pack("<H", nbytes)
+        return b"\xfc" + struct.pack("<I", nbytes)
+
     with open(os.path.join(d, "hnswdump.hnsw.data"), "wb") as f:
+        f.write(file_header)
         for i in range(n):
             if record_magic:
                 f.write(struct.pack("<I", 0xA67F0CAFE & 0xFFFFFFFF))
             f.write(struct.pack("<Q", i))
             if record_len:
-                f.write(struct.pack("<Q", dim))
+                f.write(pack_len(len(sigs[i].tobytes())))
             f.write(sigs[i].tobytes())
     with open(os.path.join(d, "seqdict.json"), "w") as f:
         for i in range(n):  # reference streamed form: concatenated objects
@@ -71,6 +87,76 @@ def test_data_layout_detection(tmp_path, record_magic, record_len):
     got = read_hnsw_data(os.path.join(d, "hnswdump.hnsw.data"),
                          n=37, dim=48, dtype=np.float32)
     np.testing.assert_array_equal(got, sigs)
+
+
+@pytest.mark.parametrize("record_magic,len_kind,file_header", [
+    (True, "varint", b""),          # magic4 + id8 + varint -> odd overhead
+    (False, "varint", b""),         # id8 + varint
+    (True, "u32", b"HNSWDUMP"),     # u32 length + 8-byte file header
+    (False, "u64", b"\x01\x02\x03\x04\x05"),  # odd 5-byte file header
+])
+def test_data_layout_varint_and_headers(tmp_path, record_magic, len_kind,
+                                        file_header):
+    """bincode-style varint length framing and odd file headers: a constant
+    payload makes varints a fixed stride, which the exhaustive
+    (header, overhead) grid + DataId validation recovers."""
+    rng = np.random.default_rng(4)
+    d = str(tmp_path)
+    # payload 48*4=192 bytes < 251 -> 1-byte varint; also test a big-payload
+    # 0xFB+u16 form below
+    sigs = rng.random((37, 48)).astype(np.float32)
+    _write_reference_dump(d, sigs, record_magic=record_magic,
+                          record_len=True, len_kind=len_kind,
+                          file_header=file_header)
+    got = read_hnsw_data(os.path.join(d, "hnswdump.hnsw.data"),
+                         n=37, dim=48, dtype=np.float32)
+    np.testing.assert_array_equal(got, sigs)
+
+
+def test_data_layout_varint_u16_form(tmp_path):
+    """Payload >250 bytes: bincode varint takes the 0xFB+u16 3-byte form."""
+    rng = np.random.default_rng(5)
+    d = str(tmp_path)
+    sigs = rng.random((23, 96)).astype(np.float32)  # 384-byte payload
+    _write_reference_dump(d, sigs, record_magic=True, record_len=True,
+                          len_kind="varint")
+    got = read_hnsw_data(os.path.join(d, "hnswdump.hnsw.data"),
+                         n=23, dim=96, dtype=np.float32)
+    np.testing.assert_array_equal(got, sigs)
+
+
+def test_corrupted_dump_refuses_to_guess(tmp_path):
+    """A file whose size decomposes but whose DataIds are NOT sequential
+    must raise (refuse-to-guess contract), not return garbage."""
+    rng = np.random.default_rng(6)
+    d = str(tmp_path)
+    sigs = rng.random((37, 48)).astype(np.float32)
+    _write_reference_dump(d, sigs, record_magic=True, record_len=True)
+    path = os.path.join(d, "hnswdump.hnsw.data")
+    data = bytearray(open(path, "rb").read())
+    # corrupt every record's DataId field (offset 4 within the record)
+    stride = 4 + 8 + 8 + 48 * 4
+    for i in range(37):
+        data[i * stride + 4 : i * stride + 12] = struct.pack("<Q", 7_000_000 + i * 3)
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="refusing to guess"):
+        read_hnsw_data(path, n=37, dim=48, dtype=np.float32)
+
+
+def test_truncated_dump_raises(tmp_path):
+    """A truncated dump must raise — either the size decomposition fails
+    outright, or a coincidental decomposition exists but its DataIds are
+    garbage and the reader refuses to guess."""
+    rng = np.random.default_rng(7)
+    d = str(tmp_path)
+    sigs = rng.random((37, 48)).astype(np.float32)
+    _write_reference_dump(d, sigs)
+    path = os.path.join(d, "hnswdump.hnsw.data")
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[:-100])
+    with pytest.raises(ValueError,
+                       match="refusing to guess|does not decompose"):
+        read_hnsw_data(path, n=37, dim=48, dtype=np.float32)
 
 
 def test_reference_sig_dtype():
