@@ -104,16 +104,26 @@ def kgraph_from_index(index, knbn: int = 8, ef_search: int = 0,
     sweep never materializes on either side; self-match removal is
     vectorized (no per-node Python loop — the reference operating point is
     65k+ nodes, src/bin/gsearch.rs:537-561)."""
+    import time as _time
+
     sigs = index.get_sigs()
     n = sigs.shape[0]
     ef = ef_search or max(64, 2 * (knbn + 1))
     out_ids = np.empty((n, knbn), dtype=np.int32)
     out_d = np.empty((n, knbn), dtype=np.float32)
+    t0 = _time.perf_counter()
     search = _exact_searcher(sigs) or (
         lambda q, k: index.search(q, knbn=k, ef_search=ef))
+    t_init = _time.perf_counter() - t0
+    t_first = t_steady = 0.0
     for s in range(0, n, batch):
         e = min(n, s + batch)
+        t0 = _time.perf_counter()
         d, ids = search(sigs[s:e], knbn + 1)
+        if s == 0:
+            t_first = _time.perf_counter() - t0  # includes jit compiles
+        else:
+            t_steady += _time.perf_counter() - t0
         ids = ids.astype(np.int32)
         # drop the self column: order non-self first (stable, keeps the
         # distance sort), then take knbn
@@ -123,4 +133,9 @@ def kgraph_from_index(index, knbn: int = 8, ef_search: int = 0,
         keep = order[:, :knbn]
         out_ids[s:e] = np.take_along_axis(ids, keep, axis=1)
         out_d[s:e] = np.take_along_axis(d, keep, axis=1)
+    log.info(
+        "kgraph %d nodes: searcher init %.1fs, first batch %.1fs "
+        "(incl. jit), remaining %d batches %.1fs (%.0f q/s steady)",
+        n, t_init, t_first, max((n - 1) // batch, 0), t_steady,
+        (n - batch) / t_steady if t_steady > 0 else float("nan"))
     return KGraph(neighbors=out_ids, distances=out_d)

@@ -103,12 +103,42 @@ _ECOLI_USAGE_PER_1000 = {
 }
 
 
+def synonymous_smooth(p: np.ndarray, alpha: float = 0.5) -> np.ndarray:
+    """Blend codon probabilities toward each amino acid's synonymous
+    marginal (last axis).
+
+    The coding signal has three parts: in-frame-stop avoidance, amino-acid
+    composition, and organism-specific codon bias.  An unsmoothed table
+    stakes everything on the third: on a genome whose synonymous bias
+    differs from the table's, per-codon log-odds go NEGATIVE even inside
+    real genes (measured: a synonymous-permuted control dropped
+    sensitivity to 0.12, scripts/bench_genepred.py heldout section).
+    Blending half the mass to the AA marginal keeps the first two signals
+    organism-independent while retaining half the bias signal
+    in-distribution."""
+    out = np.asarray(p, np.float64)
+    sm = out.copy()
+    for aa, ids in _AA_FAMILIES.items():
+        if aa == "*":
+            continue
+        sm[..., ids] = out[..., ids].sum(axis=-1, keepdims=True) / len(ids)
+    res = (1.0 - alpha) * out + alpha * sm
+    return res / res.sum(axis=-1, keepdims=True)
+
+
+_AA_FAMILIES: dict = {}
+for _codon, _aa in _CODON_AA.items():
+    _AA_FAMILIES.setdefault(_aa, []).append(_codon_id(_codon))
+
+
 def default_codon_logusage() -> np.ndarray:
-    """Built-in 64-entry codon log-usage: E. coli K-12 bias with in-frame
-    stops floored.  Replaceable via GenePredParams / GeneModel."""
+    """Built-in 64-entry codon log-usage: E. coli K-12 bias, synonymous-
+    smoothed (see synonymous_smooth), with in-frame stops floored.
+    Replaceable via GenePredParams / GeneModel."""
     usage = np.full(64, 1e-7, dtype=np.float64)
     for codon, per1000 in _ECOLI_USAGE_PER_1000.items():
         usage[_codon_id(codon)] = max(per1000, 1e-4)
+    usage = synonymous_smooth(usage / usage.sum())
     for s in _STOPS:
         usage[_codon_id(s)] = 1e-4  # in-frame stop: hard floor keeps ORFs open
     usage /= usage.sum()

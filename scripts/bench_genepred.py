@@ -57,14 +57,51 @@ def revcomp(s):
     return s.translate(comp)[::-1]
 
 
-def build_genome(rng, genome_kb, coding_density):
-    from gsearch_tpu.models.genepred import default_codon_logusage
-
-    usage = np.exp(default_codon_logusage())
+def _strip_stops(usage):
+    usage = np.array(usage, dtype=np.float64)
     for s in STOPS:  # never sample in-frame stops inside a gene body
         cid = (BASES.index(s[0]) << 4) | (BASES.index(s[1]) << 2) | BASES.index(s[2])
         usage[cid] = 0.0
-    usage = usage / usage.sum()
+    return usage / usage.sum()
+
+
+def k12_usage():
+    from gsearch_tpu.models.genepred import default_codon_logusage
+
+    return _strip_stops(np.exp(default_codon_logusage()))
+
+
+def heldout_usages(rng):
+    """Codon-usage tables the DEFAULT model has never seen — the held-out
+    organisms of this benchmark (no real assemblies ship in this
+    zero-egress environment, so held-out = differently-biased generators,
+    not merely a different random seed of the SAME bias):
+
+    * synonymous-shuffled: K-12 probabilities permuted among each amino
+      acid's synonymous codons — same protein statistics, destroyed codon
+      bias (the exact signal the default tables encode);
+    * gc-skewed: every codon reweighted by exp(gc_count) — a GC-rich
+      organism analog (~GC3 like Pseudomonas-class genomes)."""
+    from gsearch_tpu.models.genepred import _CODON_AA
+
+    k12 = k12_usage()
+    fam = {}
+    for cid in range(64):
+        fam.setdefault(_CODON_AA[_codon_str(cid)], []).append(cid)
+    shuffled = np.zeros(64)
+    for aa, cids in fam.items():
+        if aa == "*":
+            continue
+        vals = k12[cids]
+        shuffled[np.array(cids)] = rng.permutation(vals)
+    gc = np.array([sum(b in "GC" for b in _codon_str(c)) for c in range(64)])
+    skewed = k12 * np.exp(1.2 * gc)
+    return {"heldout_shuffled": _strip_stops(shuffled),
+            "heldout_gc_skewed": _strip_stops(skewed)}
+
+
+def build_genome(rng, genome_kb, coding_density, usage=None):
+    usage = k12_usage() if usage is None else usage
 
     target = genome_kb * 1000
     parts, genes, pos = [], [], 0
@@ -128,8 +165,29 @@ def main():
     base["wall_s"] = round(dt, 2)
     base["nt_per_s"] = round(len(seq) / dt)
     log(f"defaults: {base}")
+    # warm timing (compiles cached): the throughput a long run sees
+    t0 = time.time()
+    predict_genes(seq, GenePredParams())
+    dtw = time.time() - t0
+    base["warm_wall_s"] = round(dtw, 2)
+    base["warm_nt_per_s"] = round(len(seq) / dtw)
+    log(f"warm: {base['warm_nt_per_s']} nt/s")
 
-    # small sweep around the defaults (r2 verdict: tune bonuses from data)
+    # HELD-OUT evaluation (r3 verdict: the K-12 section above is
+    # in-distribution — its eval genome is generated from the same table
+    # the default model encodes; these two are not, and the knobs are the
+    # frozen defaults, untouched by the sweep below)
+    heldout = {}
+    for name, u in heldout_usages(np.random.default_rng(0xBEEF)).items():
+        hseq, htruth = build_genome(np.random.default_rng(0xD0C5), genome_kb,
+                                    density, usage=u)
+        hs = score(predict_genes(hseq, GenePredParams()), htruth)
+        heldout[name] = hs
+        log(f"{name}: {hs}")
+
+    # small sweep around the defaults on the IN-DISTRIBUTION genome only
+    # (reported for knob sensitivity; the held-out rows above are the
+    # honest generalization estimate)
     sweep = []
     for sb, eb, pg in itertools.product((2.0, 3.0, 4.5), (4.0, 6.0, 9.0),
                                         (1 / 700, 1 / 400, 1 / 250)):
@@ -144,7 +202,12 @@ def main():
     best = max(sweep, key=lambda s: s["f1"])
 
     out = {"genome_nt": len(seq), "coding_density_requested": density,
-           "defaults": base, "best": best, "sweep": sweep}
+           "defaults": base, "heldout": heldout,
+           "note": ("'defaults' evaluates on a K-12-usage genome (the "
+                    "model's own prior: in-distribution sanity bound); "
+                    "'heldout' genomes use usages the model never saw, "
+                    "knobs frozen at defaults"),
+           "best": best, "sweep": sweep}
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "GENEPRED_BENCH.json"), "w") as f:
         json.dump(out, f, indent=1)
