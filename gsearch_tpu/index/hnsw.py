@@ -808,12 +808,12 @@ class HnswIndex:
         if (self._device_packed is not None
                 and self._device_packed[:2] == (w, bits)):
             return self._device_packed[2]
-        from ..ops.mxu import _pack_hash8, _pack_hash16
+        from ..ops.mxu import _pack_hash4, _pack_hash8, _pack_hash16
 
         n = self.nb_points
         nb = _next_pow2(n)
         wq = min(w, self.sketch_size)
-        pack = _pack_hash16 if bits == 16 else _pack_hash8
+        pack = {16: _pack_hash16, 8: _pack_hash8, 4: _pack_hash4}[bits]
         buf = jnp.zeros((nb + 1, 8, w // (256 // bits)), jnp.uint32)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -873,8 +873,25 @@ class HnswIndex:
             n = self.nb_points
             _, rep = planned_footprint(n, sp)
             if rep > self.COARSE_BYTES:
-                self._coarse = False
-                return None
+                # the full rep (sign expansion + 16-bit prefix rerank
+                # matrix) won't fit next to the rerank tier (1M x 12000:
+                # 6.4 GB coarse + 8.6 GB packed4 tier > 15 GB usable).
+                # The prefix rerank stage only sharpens POOL selection —
+                # final ranking is the tier's job — so fall back to an
+                # estimator-only searcher (sign expansion alone, m=4:
+                # 4.3 GB at 1M) whose top-r IS the candidate pool.
+                nb = _next_pow2(n)
+                m_est = next((m for m in (4, 2, 1)
+                              if nb * m * sp <= self.COARSE_BYTES), 0)
+                if not m_est:
+                    self._coarse = False
+                    return None
+                # compact=False: compact mode only halves m and picks the
+                # rr3 format — with no rr3 built it must not override m
+                self._coarse = MxuSearcher(
+                    np.ascontiguousarray(_as_u32(self._sigs[:, :sp])),
+                    m=m_est, compact=False, estimator_only=True)
+                return self._coarse
             # explicit candidate width: the default knbn-proportional
             # widening at rerank pools of r>=160 blows the row-DMA rerank
             # kernel's 16 MB VMEM scratch (nb_cand x 4 KB prefix rows);
@@ -914,7 +931,11 @@ class HnswIndex:
         qbuf[:nq] = _as_u32(queries)
         need_host_rerank = self._host_rerank_needed()
         tier_kind = self._rerank_tier()[0]
-        d, ids = self.search_device(jnp.asarray(qbuf), knbn, ef_search,
+        # packed4's ~19-slot hash noise can swap ranks near the k-th
+        # answer: over-fetch and let the exact host re-score below pick
+        # the true top-k from a 32-wide polish window
+        fetch = min(max(32, knbn), n) if tier_kind == "packed4" else knbn
+        d, ids = self.search_device(jnp.asarray(qbuf), fetch, ef_search,
                                     rerank=not need_host_rerank)
         if not need_host_rerank:
             if tier_kind == "full":
@@ -929,11 +950,11 @@ class HnswIndex:
             ids_h = np.asarray(ids)[:nq]
             qs = _as_u32(queries)
             sigs = _as_u32(self._sigs)
-            rows = sigs[np.clip(ids_h, 0, n - 1)]  # [nq, knbn, S]
+            rows = sigs[np.clip(ids_h, 0, n - 1)]  # [nq, fetch, S]
             eq = (rows == qs[:, None, :]).sum(-1)
             dx = (1.0 - eq / np.float32(self.sketch_size)).astype(np.float32)
             dx[ids_h >= n] = np.inf
-            sel = np.argsort(dx, axis=1, kind="stable")
+            sel = np.argsort(dx, axis=1, kind="stable")[:, :knbn]
             return (np.take_along_axis(dx, sel, axis=1),
                     np.take_along_axis(ids_h, sel, axis=1))
 
@@ -982,6 +1003,14 @@ class HnswIndex:
         w8 = _round_up(self.sketch_size, 4096)
         if budget // nbp1 >= w8:
             return "packed8", w8          # full-width 8-bit
+        w4 = _round_up(self.sketch_size, 8192)
+        if budget // nbp1 >= w4 // 2:
+            # full-width 4-bit (1M x 12000: 8.6 GB): affine collision
+            # bias (ranking-safe), sd ~19 slots — HALF the ~37-slot
+            # sampling noise of a 16-bit tier over the 4096-slot sample
+            # that fits the same bytes; search() polishes the final
+            # top-k with an exact host re-score (_pack_hash4)
+            return "packed4", w4
         if w16 >= 2048 and w16 > sp:
             return "packed", w16          # sampled 16-bit (last resort)
         return "host", 0
@@ -1055,18 +1084,15 @@ class HnswIndex:
                 knbn=knbn, s_true=self.sketch_size,
                 use_pallas=jax.default_backend() == "tpu",
             )
-        if kind in ("packed", "packed8"):
-            from ..ops.mxu import _pack_hash8, _pack_hash16
+        if kind in ("packed", "packed8", "packed4"):
+            from ..ops.mxu import _pack_hash4, _pack_hash8, _pack_hash16
 
-            bits = 16 if kind == "packed" else 8
+            bits = {"packed": 16, "packed8": 8, "packed4": 4}[kind]
             wq = min(w, self.sketch_size)
             packed = self._device_packed_sigs(w, bits=bits)
-            if bits == 16:
-                q_pk = _pack_hash16(q_u32[:, :wq], spad=w,
-                                    pad_val=1).reshape(qb, w // 2)
-            else:
-                q_pk = _pack_hash8(q_u32[:, :wq], spad=w,
-                                   pad_val=1).reshape(qb, w // 4)
+            pack = {16: _pack_hash16, 8: _pack_hash8, 4: _pack_hash4}[bits]
+            q_pk = pack(q_u32[:, :wq], spad=w,
+                        pad_val=1).reshape(qb, w // (32 // bits))
             return _rerank_device(
                 packed, q_pk, ids, jnp.int32(n),
                 knbn=knbn, s_true=wq,
@@ -1469,6 +1495,11 @@ def _rerank_device(sigs_full, q_full, ids, n, *, knbn, s_true, use_pallas,
             eq = sum(
                 (((x >> jnp.uint32(8 * b)) & jnp.uint32(0xFF)) == 0).sum(-1)
                 for b in range(4)).astype(jnp.float32)
+        elif parts == 8:
+            x = rows ^ q_full[:, None, :]
+            eq = sum(
+                (((x >> jnp.uint32(4 * b)) & jnp.uint32(0xF)) == 0).sum(-1)
+                for b in range(8)).astype(jnp.float32)
         else:
             eq = (rows == q_full[:, None, :]).sum(-1).astype(jnp.float32)
         d = (jnp.float32(s_true) - eq) / jnp.float32(s_true)

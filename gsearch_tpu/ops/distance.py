@@ -214,6 +214,15 @@ def _gather_eq_kernel(ids_ref, q_ref, db_ref, o_ref, rowbuf, sem,
                 .astype(jnp.float32)
                 for b in range(4)
             ).sum(axis=2)
+        elif parts == 8:
+            # EIGHT 4-bit hashed slots per u32 lane (full-width tier at
+            # 1M x 12000 — ops/mxu.py:_pack_hash4): count equal nibbles
+            x = rowbuf[qi % nbuf] ^ q_ref[qi][None]
+            eq2 = sum(
+                (((x >> jnp.uint32(4 * b)) & jnp.uint32(0xF)) == 0)
+                .astype(jnp.float32)
+                for b in range(8)
+            ).sum(axis=2)
         else:
             eq2 = (rowbuf[qi % nbuf] == q_ref[qi][None]).astype(jnp.float32).sum(axis=2)
         eqc = eq2.sum(axis=1, keepdims=True)  # [r, 1]

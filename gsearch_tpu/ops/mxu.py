@@ -145,6 +145,45 @@ def _pack_hash8(rows_u32: jnp.ndarray, *, spad: int, pad_val: int) -> jnp.ndarra
     return packed.reshape(r, 8, spad // 32)
 
 
+@functools.partial(jax.jit, static_argnames=("spad", "pad_val"))
+def _pack_hash4(rows_u32: jnp.ndarray, *, spad: int, pad_val: int) -> jnp.ndarray:
+    """[R, S] u32 -> [R, 8, spad/64] u32: 4-bit slot hashes packed eight
+    to a lane.
+
+    Eighth-width sibling of _pack_hash16 for databases where even the
+    8-bit full-width form exceeds HBM (1M x 12000 needs 12.9 GB at 8
+    bits but 8.6 GB at 4, padded to the 1024-lane rule).  Unequal slots'
+    hashes collide with probability 2^-4, so the measured equal count is
+    E[meq] = eq + (S - eq)/16 — AFFINE in the true count, so expected
+    ranking is unchanged; the noise is sd = sqrt((S-eq) 15/256) ~ 19
+    slots at S=12000, eq~S/2 — half the ~37-slot sampling noise of a
+    16-bit tier over the 4096/12000 slot SAMPLE that fits the same bytes
+    (the sampled-tier regression at 524k measured 0.982, DIAG524K.json).
+    Callers polish the final top-k with an exact host re-score.  spad
+    must be a multiple of 8192 so the packed lane count spad/8 keeps the
+    kernel's 1024-lane rule."""
+    r, s = rows_u32.shape
+    h = mix32(rows_u32, _RERANK_SEED) >> jnp.uint32(28)  # [R, S] in [0, 16)
+    if spad > s:
+        h = jnp.concatenate(
+            [h, jnp.full((r, spad - s), jnp.uint32(pad_val))], axis=1)
+    packed = h[:, 0::8]
+    for b in range(1, 8):
+        packed = packed | (h[:, b::8] << jnp.uint32(4 * b))  # [R, spad/8]
+    return packed.reshape(r, 8, spad // 64)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("m",))
+def _init_write_exp(db_exp, rows_u32, start, *, m):
+    """Estimator-only sibling of _init_write: expand one row chunk into
+    the donated sign-expansion buffer, building NO rerank matrix (the
+    caller reranks with its own device tier — e.g. the hnsw packed4
+    tier at 1M x 12000, where this searcher's 16-bit prefix rerank
+    matrix would cost 4.3 GB of the HBM that tier needs)."""
+    exp = expand_signs(rows_u32, m=m)
+    return jax.lax.dynamic_update_slice(db_exp, exp, (start, jnp.int32(0)))
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("m", "spad"))
 def _init_write_compact(db_exp, packed3, rows_u32, start, *, m, spad):
     """Compact-mode sibling of _init_write: expand + pack one row chunk
@@ -184,6 +223,39 @@ def _mxu_candidates(q_exp: jnp.ndarray, db_exp: jnp.ndarray, nb_cand: int,
     else:
         _, cand = jax.lax.top_k(scores, nb_cand)
     return cand
+
+
+@functools.partial(jax.jit, static_argnames=("m", "knbn", "s_true", "approx"))
+def _search_estimator(q_sigs, db_exp, n_valid, *, m, knbn, s_true,
+                      approx=False):
+    """Estimator-only search: sign-dot scores -> masked top-k, NO rerank.
+
+    The candidate POOL for callers that own a separate rerank tier (the
+    hnsw coarse path at 1M x 12000, index/hnsw.py:_coarse_searcher).
+    Returned distances are the unbiased Jaccard estimate from the sign
+    dot (noise sd ~ sqrt(mS)/2 score units) — pool ordering only; the
+    caller's tier re-scores.  Pad rows (id >= n_valid) are masked to
+    -inf BEFORE top-k: unlike the fused path there is no downstream
+    rerank to mask them out."""
+    q_exp = expand_signs(q_sigs, m=m)
+    scores = jax.lax.dot_general(
+        q_exp, db_exp, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    col = jnp.arange(db_exp.shape[0], dtype=jnp.int32)
+    scores = jnp.where((col < n_valid)[None, :], scores, -jnp.inf)
+    if approx:
+        # see _mxu_candidates: the barrier keeps the matmul from fusing
+        # into ApproxTopK's input (compile failure when fused); boundary
+        # misses sit at the pool edge, far from the true top-k the
+        # caller's rerank keeps
+        scores = jax.lax.optimization_barrier(scores)
+        neg, cand = jax.lax.approx_max_k(
+            scores, knbn, recall_target=0.95, aggregate_to_topk=True)
+    else:
+        neg, cand = jax.lax.top_k(scores, knbn)
+    d = 1.0 - neg / (jnp.float32(m) * jnp.float32(s_true))
+    return d, cand
 
 
 @functools.partial(
@@ -269,9 +341,10 @@ class MxuSearcher:
 
     def __init__(self, sigs: np.ndarray, m: int = 4, rerank_factor: int = 8,
                  approx: bool | None = None, compact: bool | None = None,
-                 nb_cand: int | None = None):
+                 nb_cand: int | None = None, estimator_only: bool = False):
         self.s = sigs.shape[1]
         self.n = sigs.shape[0]
+        self.estimator_only = bool(estimator_only)
         nb, spad, m = self._resolve_mode(m, compact)
         self.rerank_factor = rerank_factor
         self.nb_cand_override = nb_cand
@@ -322,8 +395,21 @@ class MxuSearcher:
 
     def _fill(self, chunks, nb: int, spad: int) -> None:
         """Write u32 row chunks into the two preallocated device buffers
-        with donated in-place updates (_init_write/_init_write_compact)."""
+        with donated in-place updates (_init_write/_init_write_compact).
+        estimator_only builds the sign expansion ALONE (no rerank matrix;
+        see _search_estimator)."""
         m = self.m
+        if self.estimator_only:
+            if nb <= 8192:
+                self._db_exp = expand_signs(next(chunks), m=m)
+            else:
+                db_exp = jnp.zeros((nb, self.s * m), jnp.int8)
+                for start, rows in zip(range(0, nb, 8192), chunks):
+                    db_exp = _init_write_exp(db_exp, rows, jnp.int32(start),
+                                             m=m)
+                self._db_exp = db_exp
+            self._rr3 = None
+            return
         if nb <= 8192:
             rows = next(chunks)
             self._db_exp = expand_signs(rows, m=m)
@@ -358,6 +444,7 @@ class MxuSearcher:
         self = cls.__new__(cls)
         self.s = s
         self.n = n
+        self.estimator_only = False
         nb, spad, m = self._resolve_mode(m, compact)
         self.rerank_factor = rerank_factor
         self.nb_cand_override = nb_cand
@@ -446,6 +533,28 @@ class MxuSearcher:
         """Dispatch _search_fused in query chunks sized so the pallas
         rerank's scalar-prefetched candidate operand [Qc, C] int32 fits
         SMEM (1 MB/core; e.g. Q=4096 x C=72 x 4 B = 1.18 MB overflows)."""
+        if self._rr3 is None:  # estimator-only: pool selection, no rerank
+            nb = self._db_exp.shape[0]
+            # bound the [Qc, N] score buffer: 128 queries x 1M cols f32 is
+            # 0.5 GB, transient next to the resident expansion + the
+            # caller's own rerank tier
+            chunk = max(8, min(q_dev.shape[0], (1 << 27) // nb))
+            ds, ids = [], []
+            for start in range(0, q_dev.shape[0], chunk):
+                rows = q_dev[start : start + chunk]
+                if rows.shape[0] != chunk:  # keep one compiled program
+                    rows = jnp.concatenate(
+                        [rows, jnp.zeros((chunk - rows.shape[0],)
+                                         + rows.shape[1:], rows.dtype)], 0)
+                d, i = _search_estimator(
+                    _as_u32(rows), self._db_exp, jnp.int32(self.n),
+                    m=self.m, knbn=knbn, s_true=self.s, approx=self._approx)
+                ds.append(d)
+                ids.append(i)
+            if len(ds) == 1:
+                return ds[0][: q_dev.shape[0]], ids[0][: q_dev.shape[0]]
+            return (xp.concatenate(ds, 0)[: q_dev.shape[0]],
+                    xp.concatenate(ids, 0)[: q_dev.shape[0]])
         if self.nb_cand_override:
             # explicit candidate width (e.g. the bulk graph constructor's
             # wide-k sweeps, where the default knbn-proportional widening

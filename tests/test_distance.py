@@ -150,3 +150,51 @@ def test_gather_pallas_quarters_mode(rng):
         jnp.asarray(db), jnp.asarray(q), jnp.asarray(ids), s_true=s_true,
         interpret=True, parts=4))
     np.testing.assert_allclose(d, want, atol=1e-6)
+
+
+def test_gather_pallas_eighths_mode(rng):
+    """parts=8 counts equal 4-bit nibbles of u32 lanes (the full-width
+    packed4 rerank tier at 1M x 12000): matches a numpy nibble-unpack
+    oracle."""
+    from gsearch_tpu.ops.distance import gather_hamming_pallas
+
+    s_true, sp = 7800, 1024  # 7800 hashed slots packed into 975 (+pad) lanes
+    qc, r, n = 8, 16, 64
+    n_db = rng.integers(0, 3, size=(n, 8 * sp)).astype(np.uint32)
+    n_q = rng.integers(0, 3, size=(qc, 8 * sp)).astype(np.uint32)
+    n_db[:, s_true:] = 0  # db col pads 0
+    n_q[:, s_true:] = 1   # query col pads 1
+    db = n_db[:, 0::8]
+    q = n_q[:, 0::8]
+    for b in range(1, 8):
+        db = db | (n_db[:, b::8] << np.uint32(4 * b))
+        q = q | (n_q[:, b::8] << np.uint32(4 * b))
+    ids = rng.integers(0, n, size=(qc, r)).astype(np.int32)
+
+    want = np.empty((qc, r), np.float32)
+    for i in range(qc):
+        eq = (n_db[ids[i], :s_true] == n_q[i, :s_true]).sum(1)
+        want[i] = (s_true - eq) / np.float32(s_true)
+
+    d = np.asarray(gather_hamming_pallas(
+        jnp.asarray(db), jnp.asarray(q), jnp.asarray(ids), s_true=s_true,
+        interpret=True, parts=8))
+    np.testing.assert_allclose(d, want, atol=1e-6)
+
+
+def test_pack_hash4_roundtrip(rng):
+    """_pack_hash4 packs mix32 nibbles eight to a lane; equal u32 slots
+    produce equal nibbles, unequal slots collide at ~2^-4."""
+    from gsearch_tpu.ops.mxu import _pack_hash4
+
+    r, s, spad = 16, 3000, 8192
+    rows = rng.integers(0, 1 << 30, size=(r, s)).astype(np.uint32)
+    p = np.asarray(_pack_hash4(jnp.asarray(rows), spad=spad, pad_val=0))
+    assert p.shape == (r, 8, spad // 64)
+    # identical rows -> identical packing; db pad nibble 0 vs query pad 1
+    p2 = np.asarray(_pack_hash4(jnp.asarray(rows), spad=spad, pad_val=1))
+    flat0, flat1 = p.reshape(r, -1), p2.reshape(r, -1)
+    n_live_lanes = s // 8  # fully-live lanes agree regardless of pad_val
+    np.testing.assert_array_equal(flat0[:, :n_live_lanes],
+                                  flat1[:, :n_live_lanes])
+    assert (flat0[:, n_live_lanes + 1 :] != flat1[:, n_live_lanes + 1 :]).all()

@@ -361,3 +361,69 @@ def test_hnsw_bulk_add_recall(rng):
     miss_grown = int((d2[:, 0] > 1e-6).sum())
     miss_fresh = int((df[:, 0] > 1e-6).sum())
     assert miss_grown <= miss_fresh + 1, (miss_grown, miss_fresh)
+
+
+def test_packed4_rerank_matches_exact(rng, monkeypatch):
+    """The 4-bit full-width packed tier (chosen when even the 8-bit form
+    would not fit HBM — the 1M x 12000 regime) returns the exact tier's
+    neighbors: its collision bias is affine in the true equal count
+    (ranking-safe) and search() polishes the final top-k with an exact
+    host re-score, so output distances are exact."""
+    from gsearch_tpu.index import hnsw as hnsw_mod
+
+    n, s, k = 3000, 6144, 10
+    sigs = _sig_cloud(rng, n + 16, s, n_clusters=24)
+    db, queries = sigs[:n], sigs[n:]
+    hnsw = HnswIndex(sketch_size=s, sig_dtype=np.uint32, max_nb_conn=16,
+                     ef_construction=64, search_prefix=1024)
+    hnsw.insert(db, bulk=False)
+
+    d_exact, ids_exact = hnsw.search(queries, knbn=k, ef_search=96)
+    # budget per row between w4//2 = 4096 (4-bit over w4 = 8192 nibble
+    # cols) and w8 = 8192 (8-bit over all slots): only packed4 fits
+    nbp1 = 4096 + 1
+    budget = int(nbp1 * 6000 / 0.7)
+    monkeypatch.setenv("GSEARCH_TPU_FORCE_PACKED_RERANK", "1")
+    monkeypatch.setattr(hnsw_mod, "_RERANK_DEVICE_BYTES", budget)
+    assert hnsw._rerank_tier()[0] == "packed4"
+    d_packed, ids_packed = hnsw.search(queries, knbn=k, ef_search=96)
+
+    assert hnsw._device_packed is not None and hnsw._device_packed[1] == 4
+    # the exact polish re-scores a 32-wide window: distances are EXACT
+    # wherever both paths return the same neighbor sets
+    same = np.mean([len(set(ids_packed[i]) & set(ids_exact[i])) / k
+                    for i in range(len(queries))])
+    assert same >= 0.9, f"packed4/exact neighbor overlap {same:.3f}"
+    np.testing.assert_allclose(np.sort(d_packed, 1), np.sort(d_exact, 1),
+                               atol=20.0 / s)
+
+
+def test_coarse_estimator_only_fallback(rng, monkeypatch):
+    """When the coarse searcher's full representation exceeds COARSE_BYTES
+    the fallback is an estimator-only pool searcher (no 16-bit prefix
+    rerank matrix), whose top-r pool still contains the true neighbors."""
+    from gsearch_tpu.ops.distance import hamming_frac_xla
+    import jax.numpy as jnp
+
+    n, s = 3000, 2048
+    sp = 1024
+    sigs = _sig_cloud(rng, n + 8, s, n_clusters=24)
+    db, queries = sigs[:n], sigs[n:]
+    hnsw = HnswIndex(sketch_size=s, sig_dtype=np.uint32, max_nb_conn=16,
+                     ef_construction=64, search_prefix=sp)
+    hnsw.insert(db, bulk=False)
+
+    # full rep at nb=4096 is nb*(4*sp + 4*sp) = 33.5 MB; estimator-only
+    # m=4 is 16.8 MB: a 20 MB budget forces the fallback
+    monkeypatch.setattr(HnswIndex, "COARSE_BYTES", 20_000_000)
+    coarse = hnsw._coarse_searcher()
+    assert coarse is not None and coarse.estimator_only
+    assert coarse._rr3 is None
+
+    # pool: estimator top-64 on the prefix must contain the exact
+    # prefix-metric top-1 for nearly every query
+    d_pool, pool = coarse.search(db[:64, :sp].copy(), knbn=64)
+    d_true = np.asarray(hamming_frac_xla(
+        jnp.asarray(db[:64, :sp].copy()), jnp.asarray(db[:, :sp].copy())))
+    hit = np.mean([d_true[i].argmin() in pool[i] for i in range(64)])
+    assert hit >= 0.95, f"estimator pool top-1 containment {hit:.3f}"
