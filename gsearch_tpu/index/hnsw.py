@@ -279,6 +279,15 @@ class HnswIndex:
         self._device_full = None  # [nb+1, S] full sigs for device rerank
         self._device_packed = None  # (w, [nb+1, 8, w/16]) 16-bit-hash rerank
         self._coarse = None  # MxuSearcher over the prefix (False: won't fit)
+        # upload-once prefix cache: (n_valid, [n_valid, sp] u32 on device).
+        # Bulk adds extend it with a device concat (only the NEW rows cross
+        # the relay); _coarse_searcher consumes it after a build/add so the
+        # serving searcher inits with zero host traffic.
+        self._prefix_dev = None
+        # geometric capacity buffer backing self._sigs (vector-style):
+        # np.concatenate re-copies the WHOLE matrix on every append — 27 GB
+        # at 524k x 12000 — so appends write into spare capacity instead
+        self._sigs_buf = None
 
     # ------------------------------------------------------------------ basics
 
@@ -291,6 +300,28 @@ class HnswIndex:
 
     def get_sigs(self) -> np.ndarray:
         return self._sigs
+
+    def _append_sigs(self, new: np.ndarray) -> None:
+        """Append rows to the signature matrix in amortized O(new).
+
+        `np.concatenate` re-copies the whole matrix every append — the
+        27 GB copy at 524k x 12000 was 80% of warm bulk-add wall-clock.
+        Keep a capacity buffer with ~12.5% headroom and slice-view the
+        live prefix; externally-assigned `_sigs` (load paths, tests) just
+        pay one migration copy on their first append."""
+        n0 = self._sigs.shape[0]
+        n1 = n0 + new.shape[0]
+        buf = self._sigs_buf
+        if not (buf is not None
+                and (self._sigs is buf or self._sigs.base is buf)
+                and buf.shape[0] >= n1
+                and buf.shape[1] == self.sketch_size):
+            cap = n1 + max(n1 >> 3, 4096)
+            buf = np.empty((cap, self.sketch_size), self.sig_dtype)
+            buf[:n0] = self._sigs
+            self._sigs_buf = buf
+        buf[n0:n1] = new  # assignment casts; no astype() staging copy
+        self._sigs = buf[:n1]
 
     #: entry-tier sizing multiplier (env GSEARCH_TPU_ENTRY_MULT overrides;
     #: exposed for benchmark sweeps)
@@ -487,13 +518,14 @@ class HnswIndex:
         self._nbr_d = np.where(nbrs_h >= n_total, np.inf, nbrd_h).astype(np.float32)
         self._rescue_orphans(self._nbrs, self._nbr_d,
                              rl=min(4, m0 - m_near))
-        self._sigs = np.concatenate([self._sigs, sigs], axis=0)
+        self._append_sigs(sigs)
         del d_sigs, d_nbrs, d_nbrd
         self._refresh_entries()
         self._device = None
         self._device_full = None
         self._device_packed = None
         self._coarse = None
+        self._prefix_dev = None
 
     def _build_bulk(self, sigs: np.ndarray, progress=None) -> None:
         """Bulk graph construction: exact-kNN MXU sweep -> heuristic links.
@@ -525,9 +557,13 @@ class HnswIndex:
         m_near = max(m0 - max(m0 // 4, min(8, m0 // 2)), 4)
         C = min(max(min(2 * m0, 512), m0), max(n_total - 1, 1))
         u_pref = np.ascontiguousarray(_as_u32(sigs[:, :sp]))
+        # one host->device pass: the searcher's representations AND pass
+        # B's gather source both derive from this buffer (uploading the
+        # prefix twice doubled bulk-build init time over the relay)
+        u_dev = jnp.asarray(u_pref)
 
         # ---- pass A: exact-kNN sweep (searcher resident alone) -------------
-        searcher = MxuSearcher(u_pref, compact=True,
+        searcher = MxuSearcher(u_dev, compact=True,
                                nb_cand=min(3 * C, n_total))
         knn_ids = np.empty((n_total, C), np.int32)
         knn_d = np.empty((n_total, C), np.float32)
@@ -545,7 +581,7 @@ class HnswIndex:
         del searcher
 
         # ---- pass B: heuristic keep + forward rows --------------------------
-        d_sigs_p = jnp.asarray(u_pref)
+        d_sigs_p = u_dev
         rows_all = np.empty((n_total, m0), np.int32)
         rowsd_all = np.empty((n_total, m0), np.float32)
         kb = 1024 if n_total >= 1024 else _next_pow2(n_total, floor=16)
@@ -581,6 +617,7 @@ class HnswIndex:
         self._device_full = None
         self._device_packed = None
         self._coarse = None
+        self._prefix_dev = (n_total, u_dev)
         if progress is not None:
             progress(n_total, n_total)
 
@@ -637,7 +674,17 @@ class HnswIndex:
         (~4,800 s for 262k appends), while this is three MXU/host passes
         (reference role: dnasketch.rs:426-436, where add and build use the
         identical parallel_insert)."""
+        import time as _time
+
         from ..ops.mxu import MxuSearcher
+
+        t_last = _time.perf_counter()
+
+        def _tick(stage):
+            nonlocal t_last
+            now = _time.perf_counter()
+            log.info("bulk_add %s: %.1fs", stage, now - t_last)
+            t_last = now
 
         n0 = self.nb_points
         m = sigs.shape[0]
@@ -648,17 +695,31 @@ class HnswIndex:
         rin = 8
         m_near = max(m0 - max(m0 // 4, min(8, m0 // 2)), 4)
         C = min(max(min(2 * m0, 512), m0), max(n_total - 1, 1))
-        u_all = np.empty((n_total, sp), np.uint32)
-        u_all[:n0] = _as_u32(self._sigs[:, :sp])
-        u_all[n0:] = _as_u32(np.ascontiguousarray(sigs[:, :sp], self.sig_dtype))
+        new_u = _as_u32(np.ascontiguousarray(sigs[:, :sp], self.sig_dtype))
+        cached = self._prefix_dev
+        if (cached is not None and cached[0] == n0
+                and cached[1].shape == (n0, sp)):
+            # extend the resident prefix on device: only the NEW rows
+            # cross the relay (the 2+ GB base re-upload dominated warm
+            # bulk-add time before this cache)
+            u_dev = jnp.concatenate([cached[1], jnp.asarray(new_u)], 0)
+        else:
+            u_all = np.empty((n_total, sp), np.uint32)
+            u_all[:n0] = _as_u32(self._sigs[:, :sp])
+            u_all[n0:] = new_u
+            u_dev = jnp.asarray(u_all)
+            del u_all
+        self._prefix_dev = None  # stale from here until re-seeded below
+        _tick("prefix to device")
 
         # ---- pass A: exact top-C sweep for the NEW points only --------------
-        searcher = MxuSearcher(u_all, compact=True, nb_cand=min(3 * C, n_total))
+        searcher = MxuSearcher(u_dev, compact=True, nb_cand=min(3 * C, n_total))
+        _tick("searcher init (expand)")
         knn_ids = np.empty((m, C), np.int32)
         knn_d = np.empty((m, C), np.float32)
         qb = 4096
         for start in range(0, m, qb):
-            q = u_all[n0 + start : n0 + min(start + qb, m)]
+            q = new_u[start : min(start + qb, m)]
             d, ids = searcher.search(q, knbn=min(C + 1, n_total))
             me = np.arange(n0 + start, n0 + start + q.shape[0],
                            dtype=np.int32)[:, None]
@@ -669,6 +730,7 @@ class HnswIndex:
             if progress is not None:
                 progress(min(start + qb, m) // 2, m)
         del searcher
+        _tick("pass A (exact top-C sweep)")
 
         # entry pinning (same rule as the beam-insert path): a new point
         # whose nearest PRE-EXISTING neighbor is ~max distance is only
@@ -694,7 +756,7 @@ class HnswIndex:
         rowsd_all = np.full((n_total, m0), np.inf, np.float32)
         rows_all[:n0] = np.where(self._nbrs == _PAD, sent, self._nbrs)
         rowsd_all[:n0] = self._nbr_d
-        d_sigs_p = jnp.asarray(u_all)
+        d_sigs_p = u_dev
         kb = 1024 if m >= 1024 else _next_pow2(m, floor=16)
         for start in range(0, m, kb):
             b_real = min(kb, m - start)
@@ -713,10 +775,12 @@ class HnswIndex:
             if progress is not None:
                 progress((m + min(start + kb, m)) // 2, m)
         del d_sigs_p
+        _tick("pass B (keep + forward rows)")
 
         # ---- pass C: reverse merge, new rows as sources ---------------------
         _global_reverse_merge(rows_all, rowsd_all, base_src=n0, rin=rin,
                               mmax=mmax, m_near=m_near, sent=sent)
+        _tick("pass C (reverse merge)")
 
         # reachability guarantee (same rule as _insert_apply): each new
         # point forces ONE back-link from a near pre-existing neighbor into
@@ -747,16 +811,21 @@ class HnswIndex:
                 rows_all[f_tgt, slot] = f_src
                 rowsd_all[f_tgt, slot] = f_d
         self._rescue_orphans(rows_all, rowsd_all, rl)
+        _tick("rescue")
 
         self._nbrs = np.where(rows_all >= n_total, _PAD, rows_all).astype(np.int32)
         self._nbr_d = np.where(rows_all >= n_total, np.inf,
                                rowsd_all).astype(np.float32)
-        self._sigs = np.concatenate([self._sigs, sigs.astype(self.sig_dtype)], 0)
+        _tick("row commit")
+        self._append_sigs(sigs)
+        _tick("sig append")
         self._refresh_entries()
+        _tick("entry refresh")
         self._device = None
         self._device_full = None
         self._device_packed = None
         self._coarse = None
+        self._prefix_dev = (n_total, u_dev)
         if progress is not None:
             progress(m, m)
 
@@ -871,6 +940,17 @@ class HnswIndex:
 
             sp = self.search_prefix
             n = self.nb_points
+            # consume (don't keep: the rerank tier needs the HBM) the
+            # upload-once prefix left on device by a bulk build/add
+            src = None
+            if (self._prefix_dev is not None and self._prefix_dev[0] == n
+                    and self._prefix_dev[1].shape == (n, sp)):
+                src = self._prefix_dev[1]
+            self._prefix_dev = None
+
+            def host_src():
+                return np.ascontiguousarray(_as_u32(self._sigs[:, :sp]))
+
             _, rep = planned_footprint(n, sp)
             if rep > self.COARSE_BYTES:
                 # the full rep (sign expansion + 16-bit prefix rerank
@@ -889,7 +969,7 @@ class HnswIndex:
                 # compact=False: compact mode only halves m and picks the
                 # rr3 format — with no rr3 built it must not override m
                 self._coarse = MxuSearcher(
-                    np.ascontiguousarray(_as_u32(self._sigs[:, :sp])),
+                    src if src is not None else host_src(),
                     m=m_est, compact=False, estimator_only=True)
                 return self._coarse
             # explicit candidate width: the default knbn-proportional
@@ -898,7 +978,7 @@ class HnswIndex:
             # 2048 estimator candidates feed exact-prefix top-r for any
             # r <= 1024 within an 8.4 MB scratch
             self._coarse = MxuSearcher(
-                np.ascontiguousarray(_as_u32(self._sigs[:, :sp])),
+                src if src is not None else host_src(),
                 nb_cand=2048)
         return self._coarse
 
