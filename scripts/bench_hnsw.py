@@ -293,7 +293,12 @@ def main():
         t_oracle_compile = time.perf_counter() - t0
         log(f"oracle done (compile+run {t_oracle_compile:.1f}s)")
 
-        if stream_oracle:
+        if stream_oracle and os.environ.get("HNSW_BENCH_ORACLE_ONCE"):
+            # 1M x 12000: a second 50 GB sweep through the relay risks
+            # the host-mirror OOM bench_add.py documents; the first
+            # sweep's wall (compile included) is a conservative exact-qps
+            exact_qps = nq / t_oracle_compile
+        elif stream_oracle:
             # one sweep re-uploads the whole matrix through the relay;
             # its duration (minus compiles) IS the exact path's cost here
             t0 = time.perf_counter()
