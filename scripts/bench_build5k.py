@@ -98,6 +98,22 @@ def run_cli(args, env_extra=None):
     return dt, p.stderr
 
 
+def check_neighbors(nb_file):
+    """(in-cluster, total) neighbor lines: query q{C} <- genome g{i} is a
+    true neighbor iff i // 16 == C (gen_corpus emits 16 genomes/cluster
+    and one 2%-mutant query per 50th cluster)."""
+    ok = tot = 0
+    for line in open(nb_file):
+        if not line.startswith("query_id:"):
+            continue
+        f = line.split("\t")
+        qc = int(os.path.basename(f[1]).removeprefix("q").split(".")[0])
+        gi = int(os.path.basename(f[5]).removeprefix("g").split(".")[0])
+        tot += 1
+        ok += gi // 16 == qc
+    return ok, tot
+
+
 def main():
     n_genomes = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     genome_mb = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
@@ -121,21 +137,9 @@ def main():
     nq = len(os.listdir(qdir))
     log(f"request: {t_req:.0f}s for {nq} queries")
 
-    # sanity: every query's top hit is its own cluster
-    hits_ok = None
-    nb_file = "/tmp/build5k_req/gsearch.neighbors.txt"
-    if os.path.exists(nb_file):
-        ok = tot = 0
-        cur_q = None
-        for line in open(nb_file):
-            if line.startswith(">"):
-                parts = line.split()
-                cur_q = parts[0].lstrip(">")
-            elif line.strip().startswith("/") or ".fna" in line.split("\t")[0]:
-                if cur_q is not None:
-                    tot += 1
-                    cur_q = None
-        hits_ok = tot
+    # sanity: every neighbor of query qC must be a genome of cluster C
+    # (16 genomes per cluster: ids [16C, 16C+16))
+    ok, tot = check_neighbors("/tmp/build5k_req/gsearch.neighbors.txt")
 
     # projection: GTDB r207 ~ 65k genomes, ~260 Gbases (reference
     # README.md:134 builds it < 0.5 h on 24 threads)
@@ -148,7 +152,8 @@ def main():
         "mbases_per_s": round(gbases * 1000.0 / t_build, 1),
         "request_s": round(t_req, 1),
         "n_queries": nq,
-        "neighbors_lines": hits_ok,
+        "neighbor_lines": tot,
+        "neighbors_in_cluster": ok,
         "proj_gtdb65k_h_this_host": round(proj_65k_h, 2),
         "note": ("projection assumes ingest-bound scaling on THIS 1-core "
                  "host; the reference's <0.5 h number is a 24-thread CPU "
