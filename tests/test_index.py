@@ -427,3 +427,60 @@ def test_coarse_estimator_only_fallback(rng, monkeypatch):
         jnp.asarray(db[:64, :sp].copy()), jnp.asarray(db[:, :sp].copy())))
     hit = np.mean([d_true[i].argmin() in pool[i] for i in range(64)])
     assert hit >= 0.95, f"estimator pool top-1 containment {hit:.3f}"
+
+
+def test_append_sigs_capacity_buffer(rng):
+    """_append_sigs grows the signature matrix in amortized O(new): the
+    capacity buffer is reused across in-capacity appends (np.concatenate
+    re-copied the WHOLE matrix each time — 27 GB/append at 524k x 12000),
+    and externally-assigned matrices (load paths) migrate once."""
+    s = 64
+    idx = HnswIndex(sketch_size=s, sig_dtype=np.uint32, max_nb_conn=8,
+                    ef_construction=32, search_prefix=s)
+    a = _sig_cloud(rng, 100, s)
+    idx._sigs = a[:0]  # externally assigned (empty)
+    idx._append_sigs(a[:40])
+    buf1 = idx._sigs_buf
+    assert idx._sigs.base is buf1 and idx._sigs.shape == (40, s)
+    # in-capacity append: same backing buffer, no migration
+    idx._append_sigs(a[40:44])
+    assert idx._sigs_buf is buf1 and idx._sigs.base is buf1
+    np.testing.assert_array_equal(idx._sigs, a[:44])
+    # externally re-assigned matrix (e.g. a dump reload): one migration
+    idx._sigs = a[:60].copy()
+    idx._append_sigs(a[60:100])
+    assert idx._sigs_buf is not buf1
+    np.testing.assert_array_equal(idx._sigs, a[:100])
+    # dtype cast on append (f32-typed index fed u32 rows casts per-row)
+    idxf = HnswIndex(sketch_size=s, sig_dtype=np.float32, max_nb_conn=8,
+                     ef_construction=32, search_prefix=s)
+    f = rng.random((30, s), dtype=np.float32)
+    idxf._sigs = f[:10].copy()
+    idxf._append_sigs(f[10:])
+    assert idxf._sigs.dtype == np.float32
+    np.testing.assert_array_equal(idxf._sigs, f)
+
+
+def test_prefix_dev_cache_lifecycle(rng):
+    """The upload-once device prefix is seeded by bulk build/add, consumed
+    by the coarse searcher, and invalidated by incremental inserts (which
+    change the matrix without updating the cached rows)."""
+    s = 128
+    sigs = _sig_cloud(rng, 600, s, n_clusters=12)
+    idx = HnswIndex(sketch_size=s, sig_dtype=np.uint32, max_nb_conn=12,
+                    ef_construction=48, search_prefix=s)
+    idx.insert(sigs[:512], bulk=True)
+    assert idx._prefix_dev is not None
+    n, dev = idx._prefix_dev
+    assert n == 512 and dev.shape == (512, s)
+    np.testing.assert_array_equal(np.asarray(dev), sigs[:512])
+    # incremental (beam) insert must drop the stale cache
+    idx.insert(sigs[512:], bulk=False)
+    assert idx._prefix_dev is None
+    # bulk append re-seeds it at the grown size
+    more = _sig_cloud(rng, 300, s, n_clusters=6)
+    idx._bulk_add(more.astype(np.uint32))
+    assert idx._prefix_dev is not None and idx._prefix_dev[0] == 900
+    np.testing.assert_array_equal(
+        np.asarray(idx._prefix_dev[1]),
+        np.concatenate([sigs, more]).astype(np.uint32))
