@@ -237,7 +237,14 @@ def main() -> None:
                           "+ exact rerank, N=65536, S=12000, f32)",
                 "value": round(qps, 1),
                 "unit": "qps",
+                # denominator is a documented engineering ESTIMATE of
+                # hnsw_rs parallel_search on a 24-thread CPU (500 qps, see
+                # module docstring) — the reference publishes no qps number
                 "vs_baseline": round(qps / BASELINE_QPS, 2),
+                "baseline_note": "vs_baseline divides by an ESTIMATED "
+                                 "500 qps for hnsw_rs parallel_search on a "
+                                 "24-thread CPU at ef=5000 (the reference "
+                                 "publishes no in-repo qps number)",
             }
         )
     )

@@ -74,11 +74,21 @@ def build_parser() -> argparse.ArgumentParser:
              "the 262k curve (HNSW_BENCH.json) shows no recall gain past 64",
     )
 
-    # ann (gsearch.rs:537-561)
+    # ann (gsearch.rs:537-561); embedder knobs mirror annembed's
+    # EmbedderParams as the reference configures them (embed.rs:40-47)
     n = sub.add_parser("ann", help="graph stats and 2-D embedding of a database")
     n.add_argument("-b", "--hnsw", required=True, dest="hnsw_dir")
     n.add_argument("-s", "--stats", action="store_true")
     n.add_argument("-e", "--embed", action="store_true")
+    n.add_argument("--nb_grad_batch", type=int, default=15,
+                   help="gradient batches (annembed default 15)")
+    n.add_argument("--scale_rho", type=float, default=0.75)
+    n.add_argument("--beta", type=float, default=1.0)
+    n.add_argument("--grad_step", type=float, default=3.0)
+    n.add_argument("--nb_sampling_by_edge", type=int, default=10)
+    n.add_argument("--knbn", type=int, default=8,
+                   help="k-NN graph width (reference: embed.rs:19-22)")
+    n.add_argument("-o", "--out", default=".", help="output directory")
 
     # import: reference (Rust gsearch) database dir -> native database
     # (reference dump layout: src/utils/dumpload.rs:15-62; the published
@@ -197,9 +207,19 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "ann":
-        from ..analysis.embed import get_graph_stats_embed
+        from ..analysis.embed import EmbedderParams, get_graph_stats_embed
 
-        res = get_graph_stats_embed(args.hnsw_dir, ask_stats=args.stats, embed=args.embed)
+        eparams = EmbedderParams(
+            nb_grad_batch=args.nb_grad_batch,
+            scale_rho=args.scale_rho,
+            beta=args.beta,
+            grad_step=args.grad_step,
+            nb_sampling_by_edge=args.nb_sampling_by_edge,
+        )
+        res = get_graph_stats_embed(
+            args.hnsw_dir, ask_stats=args.stats, embed=args.embed,
+            knbn=args.knbn, params=eparams, out_dir=args.out,
+        )
         print(res["summary"])
         return 0
 

@@ -312,8 +312,13 @@ class HnswIndex:
         n0 = self._sigs.shape[0]
         n1 = n0 + new.shape[0]
         buf = self._sigs_buf
+        # reuse only when _sigs is the buffer's row-0 prefix view: a
+        # non-zero-offset view (a future compaction path) must migrate,
+        # or the append would land at the wrong rows and resurrect
+        # dropped ones via buf[:n1]
         if not (buf is not None
                 and (self._sigs is buf or self._sigs.base is buf)
+                and self._sigs.ctypes.data == buf.ctypes.data
                 and buf.shape[0] >= n1
                 and buf.shape[1] == self.sketch_size):
             cap = n1 + max(n1 >> 3, 4096)
@@ -322,6 +327,22 @@ class HnswIndex:
             self._sigs_buf = buf
         buf[n0:n1] = new  # assignment casts; no astype() staging copy
         self._sigs = buf[:n1]
+
+    def _sigs_fp(self) -> int:
+        """Cheap content fingerprint of the host signature matrix (first/
+        middle/last row).  Guards the _prefix_dev cache against external
+        reassignment of `_sigs` with the same row count (benches and tests
+        assign `_sigs` directly) — row count alone would let _bulk_add
+        link new points against stale device signatures."""
+        import zlib
+
+        n = self._sigs.shape[0]
+        if n == 0:
+            return 0
+        fp = 0
+        for r in (0, n // 2, n - 1):
+            fp = zlib.crc32(np.ascontiguousarray(self._sigs[r]).tobytes(), fp)
+        return fp
 
     #: entry-tier sizing multiplier (env GSEARCH_TPU_ENTRY_MULT overrides;
     #: exposed for benchmark sweeps)
@@ -617,7 +638,7 @@ class HnswIndex:
         self._device_full = None
         self._device_packed = None
         self._coarse = None
-        self._prefix_dev = (n_total, u_dev)
+        self._prefix_dev = (n_total, u_dev, self._sigs_fp())
         if progress is not None:
             progress(n_total, n_total)
 
@@ -698,7 +719,8 @@ class HnswIndex:
         new_u = _as_u32(np.ascontiguousarray(sigs[:, :sp], self.sig_dtype))
         cached = self._prefix_dev
         if (cached is not None and cached[0] == n0
-                and cached[1].shape == (n0, sp)):
+                and cached[1].shape == (n0, sp)
+                and cached[2] == self._sigs_fp()):
             # extend the resident prefix on device: only the NEW rows
             # cross the relay (the 2+ GB base re-upload dominated warm
             # bulk-add time before this cache)
@@ -825,7 +847,7 @@ class HnswIndex:
         self._device_full = None
         self._device_packed = None
         self._coarse = None
-        self._prefix_dev = (n_total, u_dev)
+        self._prefix_dev = (n_total, u_dev, self._sigs_fp())
         if progress is not None:
             progress(m, m)
 
@@ -944,7 +966,8 @@ class HnswIndex:
             # upload-once prefix left on device by a bulk build/add
             src = None
             if (self._prefix_dev is not None and self._prefix_dev[0] == n
-                    and self._prefix_dev[1].shape == (n, sp)):
+                    and self._prefix_dev[1].shape == (n, sp)
+                    and self._prefix_dev[2] == self._sigs_fp()):
                 src = self._prefix_dev[1]
             self._prefix_dev = None
 
@@ -953,6 +976,14 @@ class HnswIndex:
 
             _, rep = planned_footprint(n, sp)
             if rep > self.COARSE_BYTES:
+                if sp >= self.sketch_size:
+                    # no_rerank configs (search_prefix == full width) take
+                    # the coarse output as FINAL distances/ids; the
+                    # estimator's sign-dot ranking is biased and noisy, so
+                    # it must never be terminal — use the beam, whose
+                    # prefix metric IS exact here.
+                    self._coarse = False
+                    return None
                 # the full rep (sign expansion + 16-bit prefix rerank
                 # matrix) won't fit next to the rerank tier (1M x 12000:
                 # 6.4 GB coarse + 8.6 GB packed4 tier > 15 GB usable).

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import struct
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -59,6 +60,60 @@ def reference_sig_dtype(params: ProcessingParams) -> np.dtype:
     # PROB3A / SUPER2: the signature carries kmer hash values, whose width
     # follows the compressed kmer type (u32 up to wide_k, u64 beyond)
     return np.dtype(np.uint64 if k > wide_k else np.uint32)
+
+
+#: scalar type names hnsw_rs dumps carry in their graph-file description
+#: (the set the reference dispatches on: src/bin/gsearch.rs:784-852,
+#: binaux/src/bin/hnswcore.rs:432-462)
+_T_NAMES = {"u16": np.uint16, "u32": np.uint32, "u64": np.uint64,
+            "f32": np.float32, "f64": np.float64,
+            "i32": np.int32, "i64": np.int64}
+
+
+def read_reference_description(graph_path: str) -> Optional[str]:
+    """Extract the scalar type name from an hnsw_rs graph-dump description
+    header, or None if it cannot be identified.
+
+    The reference reloads databases by reading this description first and
+    dispatching on its `t_name` field (src/utils/reloadhnsw.rs:13-37,
+    src/bin/gsearch.rs:784-807).  hnsw_rs serializes the Description
+    struct with bincode: its final two fields are the distance name and
+    the scalar type name, each a length-prefixed string.  Rather than
+    hard-coding one bincode version's framing, scan the header region for
+    a known distance-name string followed by a length-prefixed known type
+    name — both vocabularies are tiny and fixed, so a match is
+    unambiguous; anything else returns None and the caller falls back to
+    parameters.json (which fully determines the type for gsearch-written
+    databases, reference_sig_dtype above)."""
+    try:
+        with open(graph_path, "rb") as f:
+            head = f.read(512)
+    except OSError:
+        return None
+    dist_pos = -1
+    for dn in (b"DistHamming", b"DistL2", b"DistL1", b"DistCosine",
+               b"DistJaccard", b"DistLevenshtein"):
+        p = head.find(dn)
+        if p >= 0:
+            dist_pos = p + len(dn)
+            break
+    if dist_pos < 0:
+        return None
+    window = head[dist_pos : dist_pos + 32]
+    for name in _T_NAMES:
+        nb = name.encode()
+        p = window.find(nb)
+        if p < 0:
+            continue
+        # require a plausible length prefix immediately before the string:
+        # u64/u32 little-endian == len(name), or a bincode-2 varint byte
+        pre = window[:p]
+        ln = len(nb)
+        if (pre.endswith(struct.pack("<Q", ln))
+                or pre.endswith(struct.pack("<I", ln))
+                or pre.endswith(struct.pack("<B", ln))):
+            return name
+    return None
 
 
 def read_reference_seqdict(path: str) -> SeqDict:
@@ -194,6 +249,18 @@ def import_reference_db(ref_dir: str, out_dir: str, index_kind: str = "auto",
     n = len(seqdict)
     dim = params.sketch.sketch_size
     dtype = reference_sig_dtype(params)
+    # cross-check against the dump's own description (the reference's
+    # reload dispatches on this t_name, reloadhnsw.rs:13-37); on mismatch
+    # trust the dump — it records what hnsw_rs actually wrote
+    t_name = read_reference_description(
+        os.path.join(ref_dir, "hnswdump.hnsw.graph"))
+    if t_name is not None:
+        desc_dtype = np.dtype(_T_NAMES[t_name])
+        if desc_dtype != dtype:
+            log.warning(
+                "graph description says %s but parameters.json implies %s; "
+                "using the description", t_name, dtype.name)
+            dtype = desc_dtype
     data_path = os.path.join(ref_dir, "hnswdump.hnsw.data")
     log.info("importing %d signatures [%d x %d %s] from %s",
              n, n, dim, dtype.name, data_path)

@@ -17,9 +17,10 @@ smaller fraction) and reuse the universal `bucket_min` race:
 Register 0 means "empty"; `union` is an elementwise register min over the
 same encoding (ties broken identically on both sides), `cardinality` is the
 classic HLL harmonic estimator on the exponent field, and `similarity`
-counts matching non-empty registers among occupied ones (the crates'
-estimator; the paper's expected-random-collision correction only matters
-for near-zero Jaccard and is planned as a refinement).
+counts matching non-empty registers among occupied ones, minus the
+paper's expected-random-collision correction (implemented below in
+`expected_collisions` / `similarity`), which matters for near-zero
+Jaccard.
 """
 
 from __future__ import annotations

@@ -237,8 +237,14 @@ def main():
     n_add = int(sys.argv[2]) if len(sys.argv) > 2 else 32_768
     s = int(sys.argv[3]) if len(sys.argv) > 3 else 12_000
     phase = os.environ.get("ADD_BENCH_PHASE", "")
-    rpath = f"/tmp/add_result_{n_base}_{n_add}_{s}.npz"
-    ocache = f"/tmp/add_oracle_{n_base}_{n_add}_{s}_{NQ}.npz"
+    # key the stage dumps on the sig cache's identity (mtime+size), so a
+    # regenerated corpus or base graph can never silently mix with stale
+    # stage results from a previous run
+    scache, gcache = _caches()
+    tag = (f"{int(os.path.getmtime(scache))}_{os.path.getsize(scache)}_"
+           f"{int(os.path.getmtime(gcache))}")
+    rpath = f"/tmp/add_result_{n_base}_{n_add}_{s}_{tag}.npz"
+    ocache = f"/tmp/add_oracle_{n_base}_{n_add}_{s}_{NQ}_{tag}.npz"
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(here, "ADD_BENCH.json")
 

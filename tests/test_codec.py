@@ -1,6 +1,9 @@
 import numpy as np
 
 from gsearch_tpu.io.codec import DNA_INVALID, decode_dna, encode_aa, encode_dna
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_encode_dna_basic():

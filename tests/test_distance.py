@@ -8,6 +8,8 @@ from gsearch_tpu.ops.distance import (
     hamming_frac_xla,
 )
 
+pytestmark = pytest.mark.smoke
+
 
 def _oracle(q, db):
     out = np.empty((q.shape[0], db.shape[0]), dtype=np.float32)

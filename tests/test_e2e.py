@@ -38,6 +38,7 @@ def corpus(tmp_path_factory):
     return {"root": root, "db_dir": db_dir, "req_dir": req_dir, "rates": rates}
 
 
+@pytest.mark.smoke
 def test_build_request_reformat(corpus):
     from gsearch_tpu.cli.main import main
 

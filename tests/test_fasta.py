@@ -6,6 +6,9 @@ import numpy as np
 from gsearch_tpu.io.codec import DNA_INVALID
 from gsearch_tpu.io.fasta import concat_file_codes, file_records_codes, parse_fasta
 from gsearch_tpu.io.walk import is_fasta_aa_file, is_fasta_dna_file, walk_fasta_dir
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 FASTA = b">seq1 some description\nACGT\nACGT\n>seq2\nTTTT\n>capsid_x protein capsid\nGGGG\n"
 

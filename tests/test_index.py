@@ -471,8 +471,9 @@ def test_prefix_dev_cache_lifecycle(rng):
                     ef_construction=48, search_prefix=s)
     idx.insert(sigs[:512], bulk=True)
     assert idx._prefix_dev is not None
-    n, dev = idx._prefix_dev
+    n, dev, fp = idx._prefix_dev
     assert n == 512 and dev.shape == (512, s)
+    assert fp == idx._sigs_fp()
     np.testing.assert_array_equal(np.asarray(dev), sigs[:512])
     # incremental (beam) insert must drop the stale cache
     idx.insert(sigs[512:], bulk=False)
@@ -484,3 +485,11 @@ def test_prefix_dev_cache_lifecycle(rng):
     np.testing.assert_array_equal(
         np.asarray(idx._prefix_dev[1]),
         np.concatenate([sigs, more]).astype(np.uint32))
+    # external reassignment of _sigs with the SAME row count: the content
+    # fingerprint must reject the cached device rows (a further bulk_add
+    # would otherwise link against stale signatures)
+    tampered = idx._sigs.copy()
+    tampered[0] ^= np.uint32(0xDEADBEEF)
+    idx._sigs = tampered
+    cached = idx._prefix_dev
+    assert cached[0] == idx.nb_points and cached[2] != idx._sigs_fp()

@@ -7,6 +7,8 @@ from gsearch_tpu.ops.kmer import canonical_dna_windows, kmer_windows, reverse_co
 
 from conftest import random_dna
 
+pytestmark = pytest.mark.smoke
+
 _COMP = {0: 3, 1: 2, 2: 1, 3: 0}
 
 

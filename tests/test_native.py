@@ -7,6 +7,8 @@ from gsearch_tpu.io import fasta as F
 from gsearch_tpu.io.native import (get_lib, native_concat_codes,
                                    native_concat_pack2, native_records_codes)
 
+pytestmark = pytest.mark.smoke
+
 FASTA = (
     b">rec1 first record\nACGTACGT\nNNGGTT\n"
     b">rec2_capsid protein\nAAAA\n"

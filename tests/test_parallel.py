@@ -14,6 +14,7 @@ from gsearch_tpu.parallel.mesh import (
 )
 
 
+@pytest.mark.smoke
 def test_eight_devices():
     assert len(jax.devices()) == 8
 
@@ -89,6 +90,7 @@ def test_sharded_sketch_and_knn_step(rng):
     np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_mesh_pipeline_e2e(rng, tmp_path):
     """tohnsw --mesh 8 -> request --mesh 8 through the real pipeline:
     dp-sharded sketching at build, MeshSearcher at request."""

@@ -13,9 +13,35 @@ from gsearch_tpu.core.params import (HnswParams, ProcessingParams,
                                      SeqSketcherParams)
 from gsearch_tpu.index.refimport import (fold_u64_sigs, import_reference_db,
                                          read_hnsw_data,
+                                         read_reference_description,
                                          read_reference_seqdict,
                                          reference_sig_dtype)
 from gsearch_tpu.index.serialize import load_index
+
+_T_NAME = {np.dtype(np.float32): "f32", np.dtype(np.uint64): "u64",
+           np.dtype(np.uint32): "u32", np.dtype(np.uint16): "u16"}
+
+
+def _graph_description(t_name, *, n=0, dim=0, distname="DistHamming",
+                       len_pack="u64"):
+    """hnsw_rs graph-dump Description header, per the crate's bincode
+    serialization of Description{dumpmode, max_nb_connection, nb_layer,
+    ef, nb_point, dimension, distname, t_name} (the reference reads it
+    via load_description, reloadhnsw.rs:13-37).  The leading magic is a
+    placeholder: the crate's exact constant is not verifiable offline
+    (the crate source is not vendored and this image has no network), and
+    the importer by design never checks it — it locates the
+    distname/t_name string pair, whose vocabulary is fixed."""
+    packs = {"u64": "<Q", "u32": "<I", "u8": "<B"}
+
+    def s(txt):
+        return struct.pack(packs[len_pack], len(txt)) + txt.encode()
+
+    return (struct.pack("<I", 0x2A3B4C5D)
+            + struct.pack("<BBB", 1, 32, 16)
+            + struct.pack("<QQQ", 64, n, dim)
+            + s(distname) + s(t_name)
+            + b"\x00" * 64)  # layer records, not parsed by the importer
 
 
 def _write_reference_dump(d, sigs, *, algo="OPTDENS", kmer=16,
@@ -62,7 +88,9 @@ def _write_reference_dump(d, sigs, *, algo="OPTDENS", kmer=16,
     )
     params.dump_json(d)
     with open(os.path.join(d, "hnswdump.hnsw.graph"), "wb") as f:
-        f.write(b"\x00" * 64)  # present but unused (graph is rebuilt)
+        # realistic description header (read for its t_name; the layer
+        # records are not needed — the graph is rebuilt on device)
+        f.write(_graph_description(_T_NAME[sigs.dtype], n=n, dim=dim))
 
 
 def test_seqdict_streamed_form(tmp_path):
@@ -157,6 +185,46 @@ def test_truncated_dump_raises(tmp_path):
     with pytest.raises(ValueError,
                        match="refusing to guess|does not decompose"):
         read_hnsw_data(path, n=37, dim=48, dtype=np.float32)
+
+
+@pytest.mark.parametrize("t_name", ["f32", "u16", "u32", "u64", "f64"])
+@pytest.mark.parametrize("len_pack", ["u64", "u32", "u8"])
+def test_description_reader(tmp_path, t_name, len_pack):
+    """t_name extraction across bincode framings (fixint u64/u32 length
+    prefixes and the one-byte varint form)."""
+    p = tmp_path / "hnswdump.hnsw.graph"
+    p.write_bytes(_graph_description(t_name, n=100, dim=48,
+                                     len_pack=len_pack))
+    assert read_reference_description(str(p)) == t_name
+
+
+def test_description_reader_garbage(tmp_path):
+    p = tmp_path / "hnswdump.hnsw.graph"
+    p.write_bytes(b"\x00" * 128)
+    assert read_reference_description(str(p)) is None
+    assert read_reference_description(str(tmp_path / "missing")) is None
+
+
+def test_import_trusts_description_on_mismatch(tmp_path, caplog):
+    """A dump whose description type contradicts parameters.json imports
+    by the description (what hnsw_rs actually wrote): u64 PROB3A
+    signatures under a parameters.json claiming k=16 (u32)."""
+    rng = np.random.default_rng(8)
+    ref = tmp_path / "refdb"
+    out = tmp_path / "native"
+    ref.mkdir()
+    n, dim = 64, 32
+    sigs = rng.integers(0, 1 << 60, (n, dim), dtype=np.uint64)
+    _write_reference_dump(str(ref), sigs, algo="PROB3A", kmer=16)
+    # parameters claim k=16 -> u32; the dump (data + description) is u64
+    assert reference_sig_dtype(
+        __import__("gsearch_tpu.core.params", fromlist=["ProcessingParams"])
+        .ProcessingParams.reload_json(str(ref))) == np.uint32
+    res = import_reference_db(str(ref), str(out))
+    assert res["source_dtype"] == "uint64"
+    index = load_index(str(out))
+    d, ids = index.search(fold_u64_sigs(sigs[:5]), knbn=1)
+    assert (ids[:, 0] == np.arange(5)).all()
 
 
 def test_reference_sig_dtype():

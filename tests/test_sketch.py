@@ -30,6 +30,7 @@ def _params(algo):
 @pytest.mark.parametrize(
     "algo", [SketchAlgo.OPTDENS, SketchAlgo.REVOPTDENS, SketchAlgo.SUPER, SketchAlgo.SUPER2]
 )
+@pytest.mark.smoke
 def test_unweighted_sketch_tracks_jaccard(rng, algo):
     seq_a = random_dna(rng, GENOME)
     sk = make_sketcher(_params(algo))

@@ -7,6 +7,8 @@ import pytest
 
 from conftest import mutate_dna, random_dna
 
+pytestmark = pytest.mark.smoke
+
 K = 12
 GENOME = 8_000
 
