@@ -65,6 +65,39 @@ def test_embedding_separates_clusters(clustered_index):
     assert 0 <= q < 1.0
 
 
+@pytest.mark.slow
+def test_embedding_scale_hierarchical(rng):
+    """Embedding quality at SCALE (the round-4 regression: 65k embed gave
+    quality 1.60 — neighbors ended up FARTHER than random pairs).  N here
+    exceeds hier_threshold so the hierarchical (landmark-coarsen ->
+    coarse-embed -> refine) init path runs, exactly as `ann --embed` does
+    at database scale; quality must beat the project's own q < 1 bar and
+    clusters must separate."""
+    n, s, n_clusters = 35_000, 96, 60
+    centers = rng.integers(0, 1 << 30, size=(n_clusters, s)).astype(np.uint32)
+    lab = rng.integers(0, n_clusters, n)
+    sigs = centers[lab]
+    mask = rng.random((n, s)) < 0.08
+    sigs = np.where(mask,
+                    rng.integers(0, 1 << 30, size=(n, s), dtype=np.uint32),
+                    sigs).astype(np.uint32)
+    idx = FlatIndex(sketch_size=s, sig_dtype=np.uint32)
+    idx.insert(sigs)
+    kg = kgraph_from_index(idx, knbn=8)
+    emb = Embedder(kg)
+    assert n > emb.params.hier_threshold  # the path under test
+    y = emb.embed()
+    assert np.isfinite(y).all()
+    q = emb.get_quality_estimate_from_edge_length(500)
+    assert 0 <= q < 1.0, f"embed quality {q:.3f} fails the q < 1 bar"
+    pairs = rng.integers(0, n, (2, 20_000))
+    d = np.linalg.norm(y[pairs[0]] - y[pairs[1]], axis=1)
+    same = lab[pairs[0]] == lab[pairs[1]]
+    assert same.any() and (~same).any()
+    intra, inter = d[same].mean(), d[~same].mean()
+    assert intra < 0.5 * inter, f"intra {intra:.3f} !< 0.5*inter {inter:.3f}"
+
+
 def test_ann_workflow(tmp_path, clustered_index):
     from gsearch_tpu.analysis.embed import get_graph_stats_embed
     from gsearch_tpu.core import (HnswParams, ProcessingParams, SeqDict,
