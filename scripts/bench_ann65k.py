@@ -89,15 +89,32 @@ def main():
 
     t0 = time.perf_counter()
     emb = Embedder(kg, EmbedderParams())
-    emb.embed()
+    y = emb.embed()
     t_embed = time.perf_counter() - t0
     q = emb.get_quality_estimate_from_edge_length(500)
     log(f"embed: {t_embed:.1f}s; quality={q:.3f} (edge/random length ratio, small=good)")
 
+    # cluster separation: the corpus is built as 64-genome clusters
+    # (label = row // 64), so a neighborhood-preserving embedding must
+    # place same-cluster pairs far closer than cross-cluster pairs
+    prng = np.random.default_rng(7)
+    pairs = prng.integers(0, n, (2, 50_000))
+    lab = pairs // 64
+    d = np.linalg.norm(y[pairs[0]] - y[pairs[1]], axis=1)
+    same = lab[0] == lab[1]
+    intra = float(d[same].mean()) if same.any() else float("nan")
+    inter = float(d[~same].mean())
+    log(f"cluster separation: intra={intra:.3f} inter={inter:.3f} "
+        f"(ratio {intra / inter:.3f}, small=good)")
+    assert q < 1.0, f"embed quality {q:.3f} fails the q < 1 bar"
+    assert intra < inter, f"intra {intra:.3f} !< inter {inter:.3f}"
+
     out = {"n": n, "s": s, "kgraph_s": round(t_kgraph, 1),
            "kgraph_warm_s": round(t_kgraph_warm, 1),
            "embed_s": round(t_embed, 1), "hubness_s3m": round(float(s3m), 3),
-           "embed_quality": round(float(q), 4)}
+           "embed_quality": round(float(q), 4),
+           "embed_intra_cluster": round(intra, 3),
+           "embed_inter_cluster": round(inter, 3)}
     with open("ANN_BENCH.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
