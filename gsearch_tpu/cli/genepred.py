@@ -13,24 +13,35 @@ import argparse
 import sys
 
 
-def load_train_model(path_or_name: str):
+def load_train_model(path_or_name: str, train_dir: str | None = None):
     """Load a gene model, dispatching on the file form — the role of
     FragGeneScan's train files (reference:
     binaux/src/bin/FragGeneScanRs.rs:116-119):
 
     "standard"    built-in E. coli-prior codon table,
-    *.npz         GeneModel (CG-binned codon + dicodon tables; produced by
-                  GeneModel.train_from_cds / save),
+    "self"        self-training (see models.genepred.self_trained_params);
+                  handled by the caller, returns the bootstrap prior,
+    name + -r DIR FragGeneScan train DIRECTORY: full table set
+                  (gene/rgene/noncoding/start/stop/start1/stop1/pwm),
+                  `name` selects the per-error-model file as the
+                  reference tool's -t does,
+    *.npz         GeneModel (CG-binned tables; GeneModel.save),
     *.json        {"codon_usage": {"ATG": freq, ...}},
-    anything else FragGeneScan-format `gene` train file (best effort).
+    anything else FragGeneScan-format `gene` train file.
 
     Returns (codon_logusage | None, GeneModel | None)."""
+    import os
+
     import numpy as np
 
     from ..models.genepred import GeneModel, _codon_id, default_codon_logusage
 
-    if path_or_name == "standard":
+    if path_or_name in ("standard", "self"):
         return default_codon_logusage(), None
+    if train_dir is not None:
+        return None, GeneModel.from_fgs_train_dir(train_dir, path_or_name)
+    if os.path.isdir(path_or_name):
+        return None, GeneModel.from_fgs_train_dir(path_or_name)
     if path_or_name.endswith(".npz"):
         return None, GeneModel.load(path_or_name)
     if path_or_name.endswith(".json"):
@@ -48,12 +59,12 @@ def load_train_model(path_or_name: str):
 
 def run_genepred(seq_file: str, out_prefix: str, whole_genes: bool = True,
                  min_len: int = 90, train: str = "standard",
-                 indel_rate: float = 0.0) -> int:
+                 indel_rate: float = 0.0, train_dir: str | None = None) -> int:
     from ..io.fasta import parse_fasta
     from ..models.genepred import (GenePredParams, default_codon_logusage,
-                                   predict_genes)
+                                   predict_genes, self_trained_params)
 
-    codon_lu, model = load_train_model(train)
+    codon_lu, model = load_train_model(train, train_dir)
     params = GenePredParams(
         codon_logusage=codon_lu if codon_lu is not None else default_codon_logusage(),
         model=model,
@@ -62,6 +73,13 @@ def run_genepred(seq_file: str, out_prefix: str, whole_genes: bool = True,
         allow_indels=indel_rate > 0,
         indel_rate=max(indel_rate, 1e-9),
     )
+    if train == "self":
+        # self-train on the longest contig (the richest call set), then
+        # predict every record with the adapted tables
+        recs = list(parse_fasta(seq_file))
+        if recs:
+            longest = max(recs, key=lambda r: len(r.seq))
+            params = self_trained_params(longest.seq, params)
     n_genes = 0
     with open(out_prefix + ".faa", "w") as faa, \
          open(out_prefix + ".ffn", "w") as ffn, \
@@ -93,8 +111,15 @@ def main(argv=None) -> int:
                     help="1: whole genes (genomes), 0: allow fragments (reads)")
     ap.add_argument("--min_len", type=int, default=90)
     ap.add_argument("-t", "--train", default="standard",
-                    help='"standard" or a JSON codon-usage file '
+                    help='"standard", "self" (organism-adaptive self-'
+                         'training), a FragGeneScan train-file name (with '
+                         '-r), a train directory, a GeneModel .npz, or a '
+                         'JSON codon-usage file '
                          '{"codon_usage": {"ATG": freq, ...}}')
+    ap.add_argument("-r", "--train-dir", default=None, dest="train_dir",
+                    help="FragGeneScan train-file directory (the reference "
+                         "tool's -r); -t names the per-error-model file "
+                         "inside it, e.g. complete / 454_10 / illumina_5")
     ap.add_argument("-p", "--threads", type=int, default=0, help="accepted for parity; unused")
     ap.add_argument("--indels", type=float, default=0.0, metavar="RATE",
                     help="per-base indel rate of the sequencing-error model "
@@ -107,7 +132,7 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     n = run_genepred(args.seq, args.out, whole_genes=args.whole == 1,
                      min_len=args.min_len, train=args.train,
-                     indel_rate=args.indels)
+                     indel_rate=args.indels, train_dir=args.train_dir)
     print(f"predicted {n} genes -> {args.out}.faa/.ffn/.gff/.out", file=sys.stderr)
     return 0
 

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Tuple
 
 import jax
@@ -159,38 +160,74 @@ def _floor_stops(p: np.ndarray, floor: float = 1e-4) -> np.ndarray:
 
 
 class GeneModel:
-    """CG-content-binned codon + dicodon emission tables — the role of
-    FragGeneScan's trained models (the reference loads per-CG-content
-    train files and picks tables by each record's CG content,
+    """CG-content-binned emission tables — the role of FragGeneScan's
+    trained models (the reference loads per-CG-content train files and
+    picks tables by each record's CG content,
     binaux/src/bin/FragGeneScanRs.rs:116-119,225-243).
 
-    cg_bins [B] (percent), codon_logusage [B, 64], and optionally
-    dicodon_logusage [B, 64, 64] = log P(codon | previous codon)."""
+    Required: cg_bins [B] (percent), codon_logusage [B, 64].
+    Optional (all per CG bin):
+      dicodon_logusage [B, 64, 64]  log P(codon | previous codon)
+      noncoding_lm     [B, 4, 4]    log P(base | previous base), noncoding
+      start_ctx / stop_ctx / rstart_ctx / rstop_ctx [B, 61, 64]
+          flanking-context trinucleotide LOG-ODDS (vs uniform 1/64) in a
+          +-30 nt window around forward starts / forward stops / reverse-
+          gene close (minus start) / reverse-gene open (minus stop) — the
+          role of the original tool's tr_S / tr_E / tr_S_1 / tr_E_1
+      dists            [B, 4, 6]    the `pwm` score-distribution params
+          (stored for fidelity; scoring here adds the log-odds sums
+          directly as Viterbi transition bonuses)."""
 
-    def __init__(self, cg_bins, codon_logusage, dicodon_logusage=None):
+    _OPT = ("dicodon_logusage", "noncoding_lm", "start_ctx", "stop_ctx",
+            "rstart_ctx", "rstop_ctx", "dists", "ctx_aff")
+
+    def __init__(self, cg_bins, codon_logusage, dicodon_logusage=None,
+                 noncoding_lm=None, start_ctx=None, stop_ctx=None,
+                 rstart_ctx=None, rstop_ctx=None, dists=None, ctx_aff=None):
         self.cg_bins = np.asarray(cg_bins, dtype=np.float32)
         self.codon_logusage = np.asarray(codon_logusage, dtype=np.float32)
-        self.dicodon_logusage = (
-            None if dicodon_logusage is None
-            else np.asarray(dicodon_logusage, dtype=np.float32)
-        )
+        loc = locals()
+        for name in self._OPT:
+            v = loc[name]
+            setattr(self, name,
+                    None if v is None else np.asarray(v, dtype=np.float32))
+
+    def bin_for(self, cg_percent: float) -> int:
+        return int(np.argmin(np.abs(self.cg_bins - cg_percent)))
 
     def tables_for(self, cg_percent: float):
-        b = int(np.argmin(np.abs(self.cg_bins - cg_percent)))
+        b = self.bin_for(cg_percent)
         di = None if self.dicodon_logusage is None else self.dicodon_logusage[b]
         return self.codon_logusage[b], di
 
+    def ctx_for(self, cg_percent: float):
+        """(noncoding_lm, ctx[4, 61, 64], ctx_aff[4, 2]) for the bin,
+        entries None when untrained.  ctx order: start, stop, rstop (rev
+        open), rstart (rev close) — the order _precompute_scores
+        consumes."""
+        b = self.bin_for(cg_percent)
+        nc = None if self.noncoding_lm is None else self.noncoding_lm[b]
+        if any(getattr(self, t) is None
+               for t in ("start_ctx", "stop_ctx", "rstart_ctx", "rstop_ctx")):
+            return nc, None, None
+        ctx = np.stack([self.start_ctx[b], self.stop_ctx[b],
+                        self.rstop_ctx[b], self.rstart_ctx[b]])
+        aff = None if self.ctx_aff is None else self.ctx_aff[b]
+        return nc, ctx, aff
+
     def save(self, path: str) -> None:
         arrs = {"cg_bins": self.cg_bins, "codon_logusage": self.codon_logusage}
-        if self.dicodon_logusage is not None:
-            arrs["dicodon_logusage"] = self.dicodon_logusage
+        for name in self._OPT:
+            v = getattr(self, name)
+            if v is not None:
+                arrs[name] = v
         np.savez(path, **arrs)
 
     @classmethod
     def load(cls, path: str) -> "GeneModel":
         g = np.load(path)
-        return cls(g["cg_bins"], g["codon_logusage"],
-                   g["dicodon_logusage"] if "dicodon_logusage" in g else None)
+        kw = {name: g[name] for name in cls._OPT if name in g}
+        return cls(g["cg_bins"], g["codon_logusage"], **kw)
 
     @classmethod
     def train_from_cds(cls, cds_list, nb_bins: int = 9,
@@ -286,12 +323,194 @@ class GeneModel:
         return cls(np.asarray(cg_bins), np.asarray(codons, dtype=np.float32),
                    np.asarray(dicodons, dtype=np.float32))
 
+    @staticmethod
+    def _read_cg_sections(path: str, rows: int, width: int):
+        """FragGeneScan CG-binned table file: repeated blocks of one
+        header line (the block's CG percent, a single number) followed by
+        `rows` lines of `width` probabilities.  Returns (cg[B],
+        table[B, rows, width])."""
+        cgs, tabs, cur, rws = [], [], None, []
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                if len(parts) == 1 and len(rws) in (0, rows):
+                    if cur is not None:
+                        if len(rws) != rows:
+                            raise ValueError(
+                                f"{path}: CG block {cur} has {len(rws)} rows,"
+                                f" expected {rows}")
+                        cgs.append(cur)
+                        tabs.append(rws)
+                    cur, rws = float(parts[0]), []
+                else:
+                    vals = [float(x) for x in parts]
+                    if len(vals) != width:
+                        raise ValueError(
+                            f"{path}: row width {len(vals)} != {width}")
+                    rws.append(vals)
+        if cur is not None:
+            if len(rws) != rows:
+                raise ValueError(f"{path}: trailing CG block {cur} has "
+                                 f"{len(rws)} rows, expected {rows}")
+            cgs.append(cur)
+            tabs.append(rws)
+        if not cgs:
+            raise ValueError(f"no CG blocks parsed from {path}")
+        return np.asarray(cgs), np.asarray(tabs, dtype=np.float64)
+
+    @staticmethod
+    def _em_to_dicodon(e: np.ndarray) -> np.ndarray:
+        """e_M[6][16][4] (P(base | previous 2 bases), 6-periodic over a
+        dicodon cycle) -> log P(codon2 | codon1).  Both codon-offset
+        readings of the cycle estimate the same conditional; their
+        log-average halves estimation noise."""
+        e = np.maximum(e, 1e-9)
+        di = np.zeros((64, 64), dtype=np.float64)
+        for c1 in range(64):
+            y, z = (c1 >> 2) & 3, c1 & 3
+            for c2 in range(64):
+                u, v, w = (c2 >> 4) & 3, (c2 >> 2) & 3, c2 & 3
+                a = e[3, y * 4 + z, u] * e[4, z * 4 + u, v] * e[5, u * 4 + v, w]
+                b = e[0, y * 4 + z, u] * e[1, z * 4 + u, v] * e[2, u * 4 + v, w]
+                di[c1, c2] = np.sqrt(a * b)
+        di = _floor_stops(di / di.sum(axis=1, keepdims=True))
+        return np.log(di)
+
+    @classmethod
+    def from_fgs_train_dir(cls, train_dir: str, name: str = "complete",
+                           ctx_clip: float = 4.0) -> "GeneModel":
+        """Load a FragGeneScan train DIRECTORY (the form the reference
+        consumes: -r dir -t name, binaux/src/bin/FragGeneScanRs.rs:116-119
+        `hmm::get_train_from_file(train-file-dir, train-file)`).
+
+        File shapes follow the original tool's public TRAIN struct (one
+        CG-percent block per bin in every file):
+          gene       96 x 4   e_M[6][16][4]   coding P(base | prev 2), fwd
+          rgene      96 x 4   e_M1[6][16][4]  same, reverse strand
+          noncoding   4 x 4   tr_R_R[4][4]    noncoding P(base | prev)
+          start      61 x 64  tr_S            fwd-start +-30 nt context
+          stop       61 x 64  tr_E            fwd-stop context
+          start1     61 x 64  tr_S_1          rev-gene close (minus start)
+          stop1      61 x 64  tr_E_1          rev-gene open (minus stop)
+          pwm         4 x 6   dist_S/E/S1/E1  score-distribution params
+        The per-error-model file `name` (complete / 454_10 / ...) holds
+        keyed global transition lines; its indel rates are exposed via
+        `read_fgs_transitions`.  Context probabilities convert to
+        log-odds vs uniform, clipped to +-ctx_clip."""
+        j = lambda f: os.path.join(train_dir, f)
+        cg, e_m = cls._read_cg_sections(j("gene"), 96, 4)
+        _, _e_m1 = cls._read_cg_sections(j("rgene"), 96, 4)
+        _, r_r = cls._read_cg_sections(j("noncoding"), 4, 4)
+        _, tr_s = cls._read_cg_sections(j("start"), 61, 64)
+        _, tr_e = cls._read_cg_sections(j("stop"), 61, 64)
+        _, tr_s1 = cls._read_cg_sections(j("start1"), 61, 64)
+        _, tr_e1 = cls._read_cg_sections(j("stop1"), 61, 64)
+        dists = None
+        if os.path.exists(j("pwm")):
+            _, dists = cls._read_cg_sections(j("pwm"), 4, 6)
+        nb = len(cg)
+        codons = np.zeros((nb, 64), np.float32)
+        dicodons = np.zeros((nb, 64, 64), np.float32)
+        for b in range(nb):
+            di = cls._em_to_dicodon(e_m[b].reshape(6, 16, 4))
+            dicodons[b] = di
+            marg = np.exp(di).mean(axis=0)
+            codons[b] = np.log(_floor_stops(marg / marg.sum()))
+
+        def lo(tab):
+            """[B, 61, 64] probabilities -> log-odds vs uniform, centered
+            per offset (a uniform-random window sums to 0) and clipped."""
+            p = np.maximum(tab, 1e-9)
+            p = p / p.sum(axis=2, keepdims=True)
+            v = np.log(p * 64.0)
+            v -= v.mean(axis=2, keepdims=True)
+            return np.clip(v, -ctx_clip, 1.5 * ctx_clip)
+
+        nc = np.log(np.maximum(
+            r_r / np.maximum(r_r.sum(axis=2, keepdims=True), 1e-12), 1e-6))
+        ctx_aff = None
+        if dists is not None:
+            # dists rows per bin: dist_S, dist_E, dist_S_1, dist_E_1 as
+            # (sigma_T, mu_T, w_T, sigma_F, mu_F, w_F); map to the ctx
+            # table order (start, stop, rev-open=E_1, rev-close=S_1) and
+            # collapse to the equal-variance affine log-posterior-odds
+            # (see train_tables_from_calls)
+            ctx_aff = np.zeros((nb, 4, 2), np.float32)
+            for b in range(nb):
+                for t, row in enumerate((0, 1, 3, 2)):
+                    sT, mT, _, sF, mF, _ = dists[b, row]
+                    var = 0.5 * (sT * sT + sF * sF) + 1e-6
+                    scale = (mT - mF) / var
+                    if scale <= 0:
+                        ctx_aff[b, t] = (1.0, 0.0)
+                    else:
+                        ctx_aff[b, t] = (scale, -scale * 0.5 * (mT + mF))
+        return cls(cg, codons, dicodons, noncoding_lm=nc,
+                   start_ctx=lo(tr_s), stop_ctx=lo(tr_e),
+                   rstart_ctx=lo(tr_s1), rstop_ctx=lo(tr_e1), dists=dists,
+                   ctx_aff=ctx_aff)
+
+
+def read_fgs_transitions(path: str) -> dict:
+    """Keyed global-transition lines of a FragGeneScan per-error-model
+    train file (complete / 454_10 / ...): section headers (a line with one
+    non-numeric token, e.g. `Transition`) followed by `KEY value` lines.
+    Returns {section: {key: value}}; the II/IM/DD/DM keys under the
+    insertion/deletion sections carry the indel rates GenePredParams
+    consumes (indel_rate)."""
+    out: dict = {}
+    section = "Transition"
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) == 1:
+                section = parts[0]
+                out.setdefault(section, {})
+            elif len(parts) == 2:
+                try:
+                    out.setdefault(section, {})[parts[0]] = float(parts[1])
+                except ValueError:
+                    section = parts[0]  # two-word section header
+            # other line shapes: ignore (robust to format extensions)
+    return out
+
 
 @dataclasses.dataclass
 class GenePredParams:
     codon_logusage: np.ndarray = dataclasses.field(default_factory=default_codon_logusage)
     dicodon_logusage: np.ndarray | None = None  # [64, 64] log P(codon|prev)
     model: "GeneModel | None" = None      # CG-binned tables; overrides the two above
+    #: [4, 4] log P(base | prev base) noncoding emissions (None: flat 1/4)
+    noncoding_lm: np.ndarray | None = None
+    #: [4, 61, 64] flanking-context log-odds stacked (start, stop,
+    #: rev-open, rev-close); replaces the fixed start/stop bonuses at
+    #: positions whose boundary codon matches (see _precompute_scores)
+    ctx: np.ndarray | None = None
+    #: [4, 2] per-table (scale, offset) calibration of the window sum
+    #: into log-posterior-odds (the `pwm` dists role); None = identity
+    ctx_aff: np.ndarray | None = None
+    ctx_weight: float = 1.0               # scale on context log-odds sums
+    #: clip on POSITIVE context evidence.  Must stay below the cost of a
+    #: spurious close+reopen (stop-miss 9 + open transition ~6), or a
+    #: mid-gene false start with an inflated calibrated context makes
+    #: splitting a real gene profitable (observed at cap 18: 28/155
+    #: starts late by a median 350 nt on the weak-bias suite)
+    ctx_cap: float = 8.0
+    #: clip on NEGATIVE context evidence.  Calibration is trained on the
+    #: FOUND genes of the previous round (survivor bias inflates the
+    #: true-class mean), so an unbounded negative branch turns weak true
+    #: boundaries into -ctx_cap and self-training can never recover them
+    ctx_neg_cap: float = 6.0
+    #: [64] log-prior over START codon identity (centered; non-start
+    #: entries ignored — the hit masks already gate on ATG/GTG/TTG).
+    #: Trained from the observed start-codon usage of the previous
+    #: round's calls; discriminates true ATG starts from in-frame
+    #: GTG/TTG candidates both in the Viterbi and in the 5' trim
+    start_prior: np.ndarray | None = None
     p_gene_start: float = 1.0 / 400.0     # nc -> gene rate per strand
     start_codon_bonus: float = 3.0        # extra for ATG/GTG/TTG at gene start
     #: extra for a proper stop at gene end; None resolves by mode in
@@ -332,11 +551,22 @@ class Gene:
 
 
 def _precompute_scores(codes: jnp.ndarray, codon_lu, dicodon_lu,
-                       start_codon_bonus, stop_codon_bonus):
+                       start_codon_bonus, stop_codon_bonus,
+                       nc_lm=None, ctx=None, ctx_aff=None,
+                       ctx_weight=1.0, ctx_cap=18.0, ctx_neg_cap=6.0,
+                       start_prior=None):
     """codes [B, L] -> per-position emissions [B, L, NSTATE] and bonuses.
 
     Traceable: called under jit with the bonus strengths as traced scalars
-    (parameter sweeps and trained models then share one compiled program)."""
+    (parameter sweeps and trained models then share one compiled program).
+
+    nc_lm [4, 4]: trained noncoding P(base | prev base) emissions (the
+    original tool's tr_R_R role); None falls back to flat 1/4.
+    ctx [4, 61, 64]: flanking-context log-odds (start, stop, rev-open,
+    rev-close — the tr_S/tr_E/tr_E_1/tr_S_1 role).  When given, boundary
+    positions whose codon matches score the +-30 nt window via ONE MXU
+    conv over the one-hot trinucleotide stream instead of the fixed
+    +-bonus; non-matching positions keep the fixed penalty."""
     b, l = codes.shape
     c = jnp.where(codes < 4, codes, 0).astype(jnp.int32)
     invalid = codes >= 4
@@ -381,7 +611,15 @@ def _precompute_scores(codes: jnp.ndarray, codon_lu, dicodon_lu,
                        .reshape(b, l))
     e = jnp.zeros((b, l, NSTATE), dtype=jnp.float32)
     log_quarter = jnp.where(invalid, neg_big, jnp.float32(np.log(0.25)))
-    e = e.at[:, :, NC].set(log_quarter)
+    if nc_lm is not None:
+        # trained noncoding first-order Markov emissions (tr_R_R role)
+        prev_ok = ~jnp.roll(invalid, 1, axis=1) & (pos >= 1)
+        nc_e = jnp.asarray(nc_lm)[jnp.roll(c, 1, axis=1), c]
+        log_nc = jnp.where(invalid, neg_big,
+                           jnp.where(prev_ok, nc_e, jnp.float32(np.log(0.25))))
+    else:
+        log_nc = log_quarter
+    e = e.at[:, :, NC].set(log_nc)
     zero_or_inval = jnp.where(invalid, neg_big, jnp.float32(0.0))
     for st in (F1, F2, R1, R2):
         e = e.at[:, :, st].set(zero_or_inval)
@@ -409,27 +647,76 @@ def _precompute_scores(codes: jnp.ndarray, codon_lu, dicodon_lu,
     )
     # + strand: gene opens at i with a start codon STARTING at i
     cod_start = c * 16 + jnp.roll(c, -1, axis=1) * 4 + jnp.roll(c, -2, axis=1)
-    start_bonus = bonus(
-        (cod_start[..., None] == start_ids[None, None, :]).any(-1) & ~fwd_bad,
-        start_codon_bonus,
-    )
+    start_hit = (cod_start[..., None] == start_ids[None, None, :]).any(-1) & ~fwd_bad
     # + strand: gene closes entering NC at i; its stop codon ENDS at i-1
     is_stop_end = (codon[..., None] == stop_ids[None, None, :]).any(-1)
-    stop_bonus = bonus(jnp.roll(is_stop_end, 1, axis=1), stop_codon_bonus)
+    stop_hit = jnp.roll(is_stop_end, 1, axis=1)
     # - strand: gene opens (leftmost + position i) with the minus-strand
     # STOP codon occupying (i, i+1, i+2): read 5'->3' on minus it is
     # revcomp(c[i+2], c[i+1], c[i])
     rcod_start = (
         (3 - jnp.roll(c, -2, axis=1)) * 16 + (3 - jnp.roll(c, -1, axis=1)) * 4 + (3 - c)
     )
-    rev_begin_bonus = bonus(
-        (rcod_start[..., None] == stop_ids[None, None, :]).any(-1) & ~fwd_bad,
-        stop_codon_bonus,
-    )
+    rev_begin_hit = (rcod_start[..., None] == stop_ids[None, None, :]).any(-1) & ~fwd_bad
     # - strand: gene closes entering NC at i; its minus START codon is the
     # rcodon ENDING at i-1
     ris_start_end = (rcodon[..., None] == start_ids[None, None, :]).any(-1)
-    rev_end_bonus = bonus(jnp.roll(ris_start_end, 1, axis=1), start_codon_bonus)
+    rev_end_hit = jnp.roll(ris_start_end, 1, axis=1)
+
+    # start-codon identity prior at hit positions (fwd: start codon
+    # starting at i; rev: minus start = rcodon ending at i-1)
+    if start_prior is not None:
+        pri = jnp.asarray(start_prior)
+        pri_f = jnp.where(start_hit, pri[cod_start], 0.0)
+        pri_r = jnp.where(rev_end_hit, jnp.roll(pri[rcodon], 1, axis=1), 0.0)
+    else:
+        pri_f = pri_r = jnp.float32(0.0)
+
+    if ctx is None:
+        start_bonus = bonus(start_hit, start_codon_bonus) + pri_f
+        stop_bonus = bonus(stop_hit, stop_codon_bonus)
+        rev_begin_bonus = bonus(rev_begin_hit, stop_codon_bonus)
+        rev_end_bonus = bonus(rev_end_hit, start_codon_bonus) + pri_r
+        return e, start_bonus, stop_bonus, rev_begin_bonus, rev_end_bonus
+
+    # flanking-context scores for ALL positions and all four boundary
+    # kinds in one conv: score[b, t, i] = sum_j ctx[t, j, tri[i-30+j]]
+    # over valid trinucleotides — a 61-tap, 64-feature 1-D correlation of
+    # the one-hot trinucleotide stream, which XLA lowers onto the MXU
+    oh = jax.nn.one_hot(cod_start, 64, dtype=jnp.float32)
+    oh = oh * (~fwd_bad).astype(jnp.float32)[..., None]
+    sc = jax.lax.conv_general_dilated(
+        jnp.moveaxis(oh, 2, 1),                    # [B, 64, L]
+        jnp.moveaxis(jnp.asarray(ctx), 2, 1),      # [4, 64, 61]
+        (1,), [(30, 30)],
+        dimension_numbers=("NCW", "OIW", "NCW"))   # [B, 4, L]
+    if ctx_aff is not None:
+        # per-table affine calibration of the window sum into bounded
+        # log-posterior-odds (trained from true-vs-random score
+        # distributions — the `pwm` dists role; see
+        # train_tables_from_calls)
+        aff = jnp.asarray(ctx_aff)                 # [4, 2]
+        sc = sc * aff[None, :, 0, None] + aff[None, :, 1, None]
+    sc = jnp.clip(jnp.float32(ctx_weight) * sc,
+                  -jnp.float32(ctx_neg_cap), jnp.float32(ctx_cap))
+
+    def ctx_bonus(is_hit, score, strength):
+        # the context score MODIFIES the fixed boundary bonus rather than
+        # replacing it: the fixed part keeps a true boundary with an
+        # uninformative context strictly preferable to no boundary codon
+        # at all (replacing it made Viterbi close genes early to dodge
+        # the floored stop emission whenever the local context was weak)
+        strength = jnp.asarray(strength, jnp.float32)
+        return jnp.where(is_hit, strength + score, -strength)
+
+    # stop/rev-close bonuses apply at the transition position i but their
+    # boundary codon STARTS at i-3 — shift the centered scores forward
+    start_bonus = ctx_bonus(start_hit, sc[:, 0], start_codon_bonus) + pri_f
+    stop_bonus = ctx_bonus(stop_hit, jnp.roll(sc[:, 1], 3, axis=1),
+                           stop_codon_bonus)
+    rev_begin_bonus = ctx_bonus(rev_begin_hit, sc[:, 2], stop_codon_bonus)
+    rev_end_bonus = ctx_bonus(rev_end_hit, jnp.roll(sc[:, 3], 3, axis=1),
+                              start_codon_bonus) + pri_r
     return e, start_bonus, stop_bonus, rev_begin_bonus, rev_end_bonus
 
 
@@ -524,13 +811,20 @@ def _viterbi(e, start_bonus, stop_bonus, rev_begin_bonus, rev_end_bonus,
     return path_rev  # [L, B] states
 
 
-@functools.partial(jax.jit, static_argnames=("has_di",))
+@functools.partial(jax.jit, static_argnames=("has_di", "has_nc", "has_ctx",
+                                             "has_prior"))
 def _decode_windows(codes, codon_lu, dicodon_lu, start_b, stop_b, p_start,
-                    log_indel, dp0, *, has_di: bool):
+                    log_indel, dp0, nc_lm, ctx, ctx_aff, ctx_w, ctx_cap,
+                    ctx_neg_cap, sprior, *, has_di: bool, has_nc: bool,
+                    has_ctx: bool, has_prior: bool):
     """codes [B, W] -> decoded state paths [B, W] (one fused program:
     emission/bonus precompute + Viterbi scan + backtrace)."""
     e, sb, pb, rbb, reb = _precompute_scores(
-        codes, codon_lu, dicodon_lu if has_di else None, start_b, stop_b)
+        codes, codon_lu, dicodon_lu if has_di else None, start_b, stop_b,
+        nc_lm=nc_lm if has_nc else None, ctx=ctx if has_ctx else None,
+        ctx_aff=ctx_aff if has_ctx else None,
+        ctx_weight=ctx_w, ctx_cap=ctx_cap, ctx_neg_cap=ctx_neg_cap,
+        start_prior=sprior if has_prior else None)
     path = _viterbi(e, sb, pb, rbb, reb, dp0, p_start, log_indel)
     return jnp.moveaxis(path, 0, 1)  # [B, W]
 
@@ -566,6 +860,250 @@ def _correct_span(seq: bytes, path: np.ndarray, s0: int, e0: int) -> str:
     return "".join(out)
 
 
+#: 5'-trim scan range (nt) when whole_genes_only resolves the start codon
+_START_SCAN_NT = 402
+
+
+def _choose_start(cands, nt_cds: str, codon_lu, start_prior,
+                  ref_off: int = 0, depth_penalty: float = 0.25) -> int:
+    """Rank candidate 5' trims by total-model evidence: the prefix before
+    each candidate re-scored as noncoding (coding-looking prefixes push
+    the start earlier, intergenic-looking ones push it later), the
+    start-codon identity prior, and a longest-ORF regularizer
+    (depth_penalty nats per codon past ref_off, the decoded span opening
+    — with weak codon bias the per-codon likelihood is noisy, and real
+    annotations are strongly biased toward the longest open reading;
+    upstream-extension candidates are exempt because there the prefix
+    drift already points toward the latest noncoding-looking boundary).
+    The flanking-context profile is deliberately NOT used here:
+    it double-counts the prefix evidence and, trained on the previous
+    round's imperfect starts, measurably degraded 5' accuracy."""
+    if len(cands) == 1:
+        return cands[0]
+    log_nc3 = 3.0 * float(np.log(0.25))
+    lu = np.asarray(codon_lu)
+    pre, pref = 0.0, {}
+    for i in range(0, cands[-1] + 1, 3):
+        pref[i] = pre
+        tri = nt_cds[i : i + 3]
+        if len(tri) == 3 and all(ch in _CODE_BASE for ch in tri):
+            pre += log_nc3 - float(lu[_codon_id(tri)])
+    best, best_s = cands[0], -np.inf
+    for off in cands:
+        s = pref[off] - depth_penalty * max(0, off - ref_off) / 3.0
+        if start_prior is not None:
+            s += float(start_prior[_codon_id(nt_cds[off : off + 3])])
+        if s > best_s:
+            best, best_s = off, s
+    return best
+
+
+def _ctx_score_host(codes: np.ndarray, lo: np.ndarray, center: int,
+                    w: int = 30) -> float:
+    """Host-side flanking-context score: sum of lo[j, trinucleotide at
+    center-w+j] over the valid window (the scorer predict_genes uses to
+    rank candidate 5' trims; the in-Viterbi equivalent is the conv in
+    _precompute_scores)."""
+    l = len(codes)
+    s = 0.0
+    for j in range(2 * w + 1):
+        p0 = center - w + j
+        if 0 <= p0 <= l - 3:
+            a, b, c = int(codes[p0]), int(codes[p0 + 1]), int(codes[p0 + 2])
+            if a < 4 and b < 4 and c < 4:
+                s += float(lo[j, a * 16 + b * 4 + c])
+    return s
+
+
+def train_tables_from_calls(codes: np.ndarray, genes: "List[Gene]",
+                            ctx_clip: float = 4.0) -> dict:
+    """Estimate every emission table from one genome plus its called
+    genes — the estimation step of self-training (see
+    self_trained_params).  Returns kwargs for dataclasses.replace on
+    GenePredParams: codon_logusage, dicodon_logusage, noncoding_lm, ctx.
+
+    The context tables are counted exactly as the original tool's
+    training pipeline defines them: trinucleotide frequencies at each of
+    the 61 offsets in a +-30 nt window around (fwd start, fwd stop, rev
+    open = minus stop, rev close = minus start), converted to log-odds
+    vs the uniform 1/64 background and clipped."""
+    l = len(codes)
+    gm = GeneModel.train_from_cds([g.nt for g in genes], nb_bins=1)
+
+    # dicodon gate: conditioning on the previous codon only helps when
+    # the genome actually has dicodon structure.  On usage-i.i.d. codons
+    # the conditional table is pure estimation noise (~4096 cells from a
+    # few thousand training codons) that costs ~0.2-0.4 nat/codon and
+    # can flip the whole coding-vs-noncoding advantage negative.  Gate on
+    # the Miller-Madow bias-corrected mutual information of the training
+    # dicodon counts.
+    dcnt = np.zeros((64, 64), np.float64)
+    for g in genes:
+        s = g.nt.upper()
+        prev = None
+        for i in range(0, len(s) - 2, 3):
+            tri_s = s[i : i + 3]
+            if any(ch not in _CODE_BASE for ch in tri_s):
+                prev = None
+                continue
+            cid = _codon_id(tri_s)
+            if prev is not None:
+                dcnt[prev, cid] += 1
+            prev = cid
+    n_pairs = dcnt.sum()
+    use_dicodon = False
+    if n_pairs > 0:
+        pj = dcnt / n_pairs
+        pr = pj.sum(1, keepdims=True)
+        pc = pj.sum(0, keepdims=True)
+        nz = pj > 0
+        mi = float((pj[nz] * np.log(pj[nz] / (pr @ pc)[nz])).sum())
+        k1 = int((pr > 0).sum())
+        k2 = int((pc > 0).sum())
+        mi_corr = mi - (k1 - 1) * (k2 - 1) / (2.0 * n_pairs)
+        use_dicodon = mi_corr > 0.05
+
+    # noncoding first-order Markov over the intergenic complement
+    coding = np.zeros(l, bool)
+    for g in genes:
+        coding[g.start : g.end] = True
+    prev_c, cur_c = codes[:-1], codes[1:]
+    ok = (~coding[:-1]) & (~coding[1:]) & (prev_c < 4) & (cur_c < 4)
+    nc_cnt = np.ones((4, 4), np.float64)
+    np.add.at(nc_cnt, (prev_c[ok], cur_c[ok]), 1)
+    nc_lm = np.log(nc_cnt / nc_cnt.sum(axis=1, keepdims=True)
+                   ).astype(np.float32)
+
+    # flanking-context counts; table order matches GeneModel.ctx_for
+    tri = (codes[: l - 2].astype(np.int32) * 16
+           + codes[1 : l - 1].astype(np.int32) * 4
+           + codes[2:].astype(np.int32))
+    tri_ok = (codes[: l - 2] < 4) & (codes[1 : l - 1] < 4) & (codes[2:] < 4)
+    centers = [[], [], [], []]
+    for g in genes:
+        if g.strand == "+":
+            centers[0].append(g.start)
+            centers[1].append(g.end - 3)
+        else:
+            centers[2].append(g.start)
+            centers[3].append(g.end - 3)
+    cnt = np.zeros((4, 61, 64), np.float64)
+    for t, cs in enumerate(centers):
+        if not cs:
+            continue
+        cs = np.asarray(cs, np.int64)
+        for j in range(61):
+            p0 = cs - 30 + j
+            p0 = p0[(p0 >= 0) & (p0 <= l - 3)]
+            p0 = p0[tri_ok[p0]]
+            np.add.at(cnt[t, j], tri[p0], 1)
+    # log-odds vs the GENOME trinucleotide background (not uniform —
+    # composition bias would otherwise leak into every window), smoothed
+    # by background-proportional pseudo-counts, and CENTERED per offset
+    # so a background-distributed window scores exactly 0: without the
+    # centering, sparse foreground counts (few training genes) make
+    # unseen trinucleotides dominate and every 61-term window sum goes
+    # deeply negative — gene opening then costs more at a true start
+    # than the fixed miss penalty, collapsing sensitivity
+    bg = np.bincount(tri[tri_ok], minlength=64).astype(np.float64) + 1.0
+    bg /= bg.sum()
+    n_row = cnt.sum(axis=2, keepdims=True)
+    fg = (cnt + 4.0 * bg) / (n_row + 4.0)
+    lo = np.log(fg / bg)
+    lo -= (bg * lo).sum(axis=2, keepdims=True)
+    ctx = np.clip(lo, -ctx_clip, 1.5 * ctx_clip).astype(np.float32)
+
+    # calibrate the 61-term window SUM into a bounded log-posterior-odds
+    # bonus — the original tool's `pwm` score-distribution role.  Raw
+    # sums at true boundaries can reach ~100+ on strongly biased genomes
+    # (half the window is coding, and coding-vs-background log-odds
+    # dominate the boundary-specific signal), so uncalibrated sums
+    # saturate any clip and rank false and true sites identically.  An
+    # equal-variance two-class Gaussian (true centers vs random
+    # positions) gives an AFFINE per-table map scale*sum + offset whose
+    # output is ~+llr at true sites and ~-llr at background ones.
+    def sums_at(t, cs):
+        cs = np.asarray(cs, np.int64)
+        s = np.zeros(len(cs))
+        for j in range(61):
+            p0 = cs - 30 + j
+            sel = (p0 >= 0) & (p0 <= l - 3)
+            idx = p0[sel]
+            good = tri_ok[idx]
+            contrib = np.where(good, ctx[t, j, tri[idx]], 0.0)
+            s[sel] += contrib
+        return s
+
+    rng = np.random.default_rng(0xC7B)
+    rand_pos = rng.integers(31, max(l - 33, 62), 512)
+    aff = np.zeros((4, 2), np.float32)
+    fallback_bonus = (3.0, 6.0, 6.0, 3.0)  # start, stop, rev-open, rev-close
+    for t in range(4):
+        if len(centers[t]) < 5:
+            aff[t] = (0.0, fallback_bonus[t])
+            continue
+        st = sums_at(t, centers[t])
+        sf = sums_at(t, rand_pos)
+        var = 0.5 * (st.var() + sf.var()) + 1e-6
+        scale = (st.mean() - sf.mean()) / var
+        if scale <= 0:
+            aff[t] = (0.0, fallback_bonus[t])
+            continue
+        aff[t] = (scale, -scale * 0.5 * (st.mean() + sf.mean()))
+    # start-codon identity prior (centered log-odds vs uniform over the
+    # three start codons, clipped so a rare-but-real GTG/TTG start stays
+    # reachable)
+    spc = np.zeros(3)
+    for g in genes:
+        tri = g.nt[:3].upper()
+        if tri in _STARTS:
+            spc[_STARTS.index(tri)] += 1
+    spr = (spc + 0.5) / (spc.sum() + 1.5)
+    start_prior = np.zeros(64, np.float32)
+    for k, s_codon in enumerate(_STARTS):
+        start_prior[_codon_id(s_codon)] = np.log(spr[k] * 3.0)
+    start_prior = np.clip(start_prior, -4.0, 4.0)
+
+    return {"codon_logusage": gm.codon_logusage[0],
+            "dicodon_logusage":
+                gm.dicodon_logusage[0] if use_dicodon else None,
+            "noncoding_lm": nc_lm, "ctx": ctx, "ctx_aff": aff,
+            "start_prior": start_prior}
+
+
+def self_trained_params(seq: bytes, base: "GenePredParams | None" = None,
+                        rounds: int = 3, min_train_nt: int = 300,
+                        min_calls: int = 8) -> "GenePredParams":
+    """Organism-adaptive self-training: call genes with the current
+    model, re-estimate every emission table from the calls, repeat.
+
+    This replaces distribution-matched pre-trained tables the way
+    Prodigal/GeneMark self-training does — the built-in prior only
+    bootstraps the first pass (its synonymous-smoothed table keeps the
+    stop/amino-acid signal organism-independent), after which the codon,
+    dicodon, noncoding, and boundary-context tables all come from the
+    input genome itself.  The reference tool instead ships fixed
+    CG-binned tables (FragGeneScanRs.rs:116-119); those remain loadable
+    via GeneModel.from_fgs_train_dir."""
+    p = base or GenePredParams()
+    from ..io.codec import encode_dna
+
+    codes = encode_dna(seq)
+    for r in range(rounds):
+        genes = predict_genes(seq, p)
+        usable = [g for g in genes if len(g.nt) >= min_train_nt]
+        if len(usable) < min_calls:
+            log.warning("self-train round %d: only %d usable calls "
+                        "(< %d); keeping the current model",
+                        r, len(usable), min_calls)
+            return p
+        t = train_tables_from_calls(codes, usable)
+        p = dataclasses.replace(p, model=None, **t)
+        log.info("self-train round %d: re-estimated tables from %d calls",
+                 r, len(usable))
+    return p
+
+
 #: whole-genome decoding window: contigs longer than _WINDOW split into
 #: batched overlapping windows (TPU gets batch parallelism instead of one
 #: multi-hundred-thousand-step serial scan; the reference tool gets its
@@ -584,7 +1122,7 @@ _NEG_BIG = -1e9
 
 
 def _decode_path(codes: np.ndarray, p: GenePredParams, codon_lu,
-                 dicodon_lu) -> np.ndarray:
+                 dicodon_lu, nc_lm=None, ctx=None, ctx_aff=None) -> np.ndarray:
     """Full-contig Viterbi state path [L] via batched overlapping windows."""
     l = len(codes)
     start_b = jnp.float32(p.start_codon_bonus)
@@ -594,6 +1132,18 @@ def _decode_path(codes: np.ndarray, p: GenePredParams, codon_lu,
     clu = jnp.asarray(codon_lu)
     has_di = dicodon_lu is not None
     dlu = jnp.asarray(dicodon_lu) if has_di else jnp.zeros((64, 64), jnp.float32)
+    has_nc = nc_lm is not None
+    nclm = jnp.asarray(nc_lm) if has_nc else jnp.zeros((4, 4), jnp.float32)
+    has_ctx = ctx is not None
+    ctxj = jnp.asarray(ctx) if has_ctx else jnp.zeros((4, 61, 64), jnp.float32)
+    affj = (jnp.asarray(ctx_aff) if ctx_aff is not None
+            else jnp.tile(jnp.asarray([1.0, 0.0], jnp.float32), (4, 1)))
+    ctx_w = jnp.float32(p.ctx_weight)
+    ctx_cap = jnp.float32(p.ctx_cap)
+    ctx_neg = jnp.float32(p.ctx_neg_cap)
+    has_prior = p.start_prior is not None
+    spri = (jnp.asarray(p.start_prior) if has_prior
+            else jnp.zeros(64, jnp.float32))
 
     def run(win_codes: np.ndarray, first_row0: bool) -> np.ndarray:
         nb, w = win_codes.shape
@@ -605,7 +1155,9 @@ def _decode_path(codes: np.ndarray, p: GenePredParams, codon_lu,
             dp0[0, NC] = 0.0
         return np.asarray(_decode_windows(
             jnp.asarray(win_codes), clu, dlu, start_b, stop_b, p_start,
-            log_indel, jnp.asarray(dp0), has_di=has_di))
+            log_indel, jnp.asarray(dp0), nclm, ctxj, affj, ctx_w, ctx_cap,
+            ctx_neg, spri, has_di=has_di, has_nc=has_nc, has_ctx=has_ctx,
+            has_prior=has_prior))
 
     if l <= _WINDOW:
         # single window, padded to a power-of-two bucket for program reuse
@@ -654,6 +1206,7 @@ def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene
     if l < p.min_gene_len:
         return []
     codon_lu, dicodon_lu = p.codon_logusage, p.dicodon_logusage
+    nc_lm, ctx, ctx_aff = p.noncoding_lm, p.ctx, p.ctx_aff
     if p.model is not None:
         # CG-content-binned table selection, as the reference tool does per
         # record (FragGeneScanRs.rs:225-243 count_cg_content -> locals[cg])
@@ -661,7 +1214,8 @@ def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene
         nv = int(valid.sum())
         cg = 100.0 * float(((codes == 1) | (codes == 2)).sum()) / max(nv, 1)
         codon_lu, dicodon_lu = p.model.tables_for(cg)
-    path = _decode_path(codes, p, codon_lu, dicodon_lu)
+        nc_lm, ctx, ctx_aff = p.model.ctx_for(cg)
+    path = _decode_path(codes, p, codon_lu, dicodon_lu, nc_lm, ctx, ctx_aff)
 
     genes: List[Gene] = []
     coding_f = ((path >= F1) & (path <= F3)) | (path == FI1) | (path == FI2)
@@ -696,17 +1250,43 @@ def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene
             if p.allow_indels:
                 nt_cds = nt_cds[: len(nt_cds) - len(nt_cds) % 3]
             if p.whole_genes_only:
-                # -w 1: only complete genes. Trim the 5' end to the first
+                # -w 1: only complete genes. Trim the 5' end to an
                 # in-frame start codon (the Viterbi opening can be a few
-                # codons off); require a terminal stop.
-                start_off = next(
-                    (i for i in range(0, len(nt_cds) - 2, 3)
-                     if nt_cds[i : i + 3] in _STARTS),
-                    None,
-                )
-                if start_off is None or nt_cds[-3:] not in _STOPS:
+                # codons off); require a terminal stop.  Candidates with
+                # an in-frame stop between them and the terminal stop
+                # are disqualified (they cannot head this ORF), and the
+                # survivor with the best combined evidence wins
+                # (_choose_start).
+                if nt_cds[-3:] not in _STOPS:
                     continue
-                nt_cds = nt_cds[start_off:]
+                # the Viterbi opening can be LATE by whole codon runs
+                # when the codon bias is weak (a coding stretch can look
+                # noncoding by chance), so the candidate search extends
+                # well upstream of the decoded span (in CDS orientation);
+                # the last upstream IN-FRAME STOP fences the extension at
+                # the ORF boundary, exactly as the classic ORF definition
+                # does (uniform intergenic hits one every ~21 codons)
+                ext = min(300, int(s0) if strand == "+" else l - int(e0))
+                ext -= ext % 3
+                if strand == "+":
+                    lead = seq[int(s0) - ext : int(s0)]
+                else:
+                    lead = seq[int(e0) : int(e0) + ext]
+                    lead = lead.translate(_REVCOMP)[::-1]
+                work = lead.decode("ascii", "replace").upper() + nt_cds
+                last_stop = -3
+                for i in range(0, len(work) - 5, 3):
+                    if work[i : i + 3] in _STOPS:
+                        last_stop = i
+                span = min(len(work) - 2, ext + _START_SCAN_NT)
+                cands = [i for i in range(0, span, 3)
+                         if work[i : i + 3] in _STARTS and i > last_stop]
+                if not cands:
+                    continue
+                chosen = _choose_start(cands, work, codon_lu, p.start_prior,
+                                       ref_off=ext)
+                start_off = chosen - ext  # negative: upstream extension
+                nt_cds = work[chosen:]
                 if len(nt_cds) < p.min_gene_len:
                     continue
                 if strand == "+":
