@@ -233,6 +233,13 @@ def phase_search(n_base, n_add, s, rpath, ocache, out_path):
 
 
 def main():
+    # persistent executable cache: a fresh process replays prior remote
+    # compiles from disk instead of re-paying them (the round-4 "cold"
+    # 621 s was measured without this)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from gsearch_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 524_288
     n_add = int(sys.argv[2]) if len(sys.argv) > 2 else 32_768
     s = int(sys.argv[3]) if len(sys.argv) > 3 else 12_000

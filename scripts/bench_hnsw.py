@@ -124,6 +124,38 @@ def make_clustered_device(n, s, n_centers, lo=0.02, hi=0.45, seed=0):
     return sigs, centers_h
 
 
+def _npz_memmap(path, name):
+    """Memory-map one member of an uncompressed .npz (np.savez stores
+    ZIP_STORED) without extracting it: the 50 GB 1M x 12000 sig cache
+    then costs ~zero anon RSS (the first 1M run OOMed this 125 GB host:
+    np.load's full copy + the index's internal append copy)."""
+    import struct
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        info = z.getinfo(name)
+        assert info.compress_type == zipfile.ZIP_STORED
+    with open(path, "rb") as f:
+        f.seek(info.header_offset)
+        lh = f.read(30)
+        assert lh[:4] == b"PK\x03\x04"
+        nlen, elen = struct.unpack("<HH", lh[26:30])
+        f.seek(info.header_offset + 30 + nlen + elen)
+        version = np.lib.format.read_magic(f)
+        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        assert not fortran
+        off = f.tell()
+    return np.memmap(path, dtype=dtype, mode="r", offset=off, shape=shape)
+
+
+def _rss_gb():
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1e6
+    return 0.0
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
     s = int(sys.argv[2]) if len(sys.argv) > 2 else 12_000
@@ -147,9 +179,14 @@ def main():
     t0 = time.perf_counter()
     scache = os.environ.get("HNSW_BENCH_SIG_CACHE", "")
     if scache and os.path.exists(scache):
-        g = np.load(scache)
-        sigs, centers = g["sigs"], g["centers"]
-        log(f"reused cached signatures from {scache}")
+        if os.environ.get("HNSW_BENCH_SIG_MMAP"):
+            sigs = _npz_memmap(scache, "sigs.npy")
+            centers = np.load(scache)["centers"]
+            log(f"memmapped cached signatures from {scache}")
+        else:
+            g = np.load(scache)
+            sigs, centers = g["sigs"], g["centers"]
+            log(f"reused cached signatures from {scache}")
     elif os.environ.get("HNSW_BENCH_HOST_GEN"):
         sigs, centers = make_clustered(rng, n, s, n_centers=max(n // 128, 8))
     else:
@@ -262,8 +299,14 @@ def main():
                 live = max(min(n - st, cstep), 0)
                 if live:
                     rows[:live, :s] = sigs_u[st : st + live]
-                dd, ii = stream_chunk(jnp.asarray(rows), q_dev, jnp.int32(st),
+                db_dev = jnp.asarray(rows)
+                dd, ii = stream_chunk(db_dev, q_dev, jnp.int32(st),
                                       jnp.int32(n), k=min(k, cstep))
+                dd, ii = np.asarray(dd), np.asarray(ii)
+                db_dev.delete()  # free the 800 MB staging buffer eagerly
+                del db_dev, rows
+                if (st // cstep) % 16 == 0:
+                    log(f"oracle chunk {st // cstep}: rss {_rss_gb():.1f} GB")
             else:
                 dd, ii = oracle_chunk(full, q_dev, jnp.int32(st), jnp.int32(n),
                                       k=min(k, cstep), chunk=cstep)
