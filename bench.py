@@ -193,7 +193,11 @@ def main() -> None:
 
         td = tempfile.mkdtemp(prefix="bench_ingest_")
         acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
-        n_files, file_mb = 96, 3
+        # 112 x 9-Mbase genomes (real bacterial scale, > one 4-Mb device
+        # block: exercises the batched piece-streaming path) = 1.0 Gbase,
+        # long enough that pipeline fill/drain latency (~1.5 s fixed on
+        # this relay) is amortized out of the steady-state rate
+        n_files, file_mb = 112, 9
         total_bases = 0
         # one random pool, per-file random windows: content-distinct files
         # without 288M host RNG draws (minutes on a small host)

@@ -104,9 +104,15 @@ class SketcherBase:
         # and its device buffers in a global cache forever)
         self._fn_cache: dict = {}
         self.mesh = None  # optional jax Mesh: shard batched sketching over 'd'
-        # FIFO of (ticket, chunk_indices, in-flight device sigs); shared
-        # across sketch_submit calls so successive pipeline flushes overlap
-        self._inflight: list = []
+        # collector thread state (lazy, _ensure_collector): completed
+        # dispatches are downloaded OFF the submit thread, because on this
+        # relay a host download syncs the dispatch pipeline — the next
+        # dispatch after an inline np.asarray re-pays ~0.4 s launch
+        # latency (measured: 8 inline drains cost ~3 s of a 96x3MB
+        # ingest's 4.6 s wall)
+        self._collect_q = None
+        self._collect_cv = None
+        self._collect_err: BaseException | None = None
 
     def set_mesh(self, mesh) -> None:
         """Enable data-parallel sketching over the mesh's 'd' axis: genome
@@ -317,6 +323,196 @@ class SketcherBase:
             self._fn_cache[key] = self._batch_fn_impl(b, nb, form)
         return self._fn_cache[key]
 
+    def _race_stream_fn(self, b: int, nb: int, form: str):
+        """Batched STREAMING kernel: [b] pieces of ONE genome -> their
+        races, row-reduced in-graph with the associative combine -> one
+        partial RaceResult.  Replaces the row-at-a-time piece loop (one
+        dispatch per 4-Mb piece) with one dispatch per genome — most real
+        bacterial genomes (2-10 Mb) are larger than a block, so this is
+        the corpus-scale build path."""
+        key = ("stream", b, nb, form)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+
+        def reduce_rows(race: RaceResult) -> RaceResult:
+            acc = RaceResult(race.found[0], race.key[0], race.payload[0])
+            for j in range(1, b):  # b is small and static: unrolled
+                acc = combine_race(
+                    acc, RaceResult(race.found[j], race.key[j], race.payload[j]))
+            return acc
+
+        def body(codes):
+            hi, lo, valid = self._windows(codes)
+            slots, keys, payload, dvalid = self._darts(hi, lo, valid)
+            return reduce_rows(self._race(slots, keys, payload, dvalid))
+
+        if form == "raw":
+            run = body
+        else:
+            def run(p2, lens, inv):
+                return body(self._unpack_device_exc(p2, lens, inv, nb))
+
+        self._fn_cache[key] = jax.jit(run)
+        return self._fn_cache[key]
+
+    def _race_stream_seg_fn(self, g: int, p: int, nb: int, form: str):
+        """Cross-genome batched streaming kernel: [g*p] piece rows (p
+        pieces for each of g genomes) -> per-genome races via an in-graph
+        segment reduce -> finalized signatures [g, nb_slots].  One device
+        dispatch sketches g whole multi-block genomes."""
+        key = ("stream_seg", g, p, nb, form)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+
+        def reduce_segments(race: RaceResult) -> RaceResult:
+            f = race.found.reshape((g, p) + race.found.shape[1:])
+            k = race.key.reshape((g, p) + race.key.shape[1:])
+            pl = race.payload.reshape((g, p) + race.payload.shape[1:])
+            acc = RaceResult(f[:, 0], k[:, 0], pl[:, 0])
+            for j in range(1, p):  # p is small and static: unrolled
+                acc = combine_race(acc, RaceResult(f[:, j], k[:, j], pl[:, j]))
+            return acc
+
+        def body(codes):
+            hi, lo, valid = self._windows(codes)
+            slots, keys, payload, dvalid = self._darts(hi, lo, valid)
+            race = self._race(slots, keys, payload, dvalid)
+            return self._finalize_race(reduce_segments(race))
+
+        if form == "raw":
+            run = body
+        else:
+            def run(p2, lens, inv):
+                return body(self._unpack_device_exc(p2, lens, inv, nb))
+
+        self._fn_cache[key] = jax.jit(run)
+        return self._fn_cache[key]
+
+    #: elements budget for cross-genome streaming dispatches — larger than
+    #: _BATCH_ELEMS_LOG2 because piece rows are always max-block-sized, so
+    #: the batch dimension is what amortizes the per-dispatch sort cost
+    @functools.cached_property
+    def _STREAM_ELEMS_LOG2(self) -> int:
+        env = os.environ.get("GSEARCH_TPU_STREAM_ELEMS_LOG2")
+        if env:
+            return int(env)
+        return 27 if jax.default_backend() == "tpu" else 24
+
+    def _stream_rows(self, codes):
+        """Host-side piece assembly for one long genome: returns
+        ("exc", p2, lens, inv) rows ready for a streaming dispatch, or
+        None when the genome needs a fallback path.  Rows are max-block
+        shaped; piece starts overlap by k-1 (4-aligned in packed form)."""
+        from ..io.codec import PackedCodes
+
+        max_block = 1 << self.MAX_BLOCK_LOG2
+        nb = max_block
+        if (isinstance(codes, PackedCodes)
+                and not (self.is_aa or self._upload_raw)
+                and not self.MULTIPLICITY_SENSITIVE):
+            pk = codes
+            step = max_block - (self.k - 1)
+            step -= step % 4
+            starts = list(range(0, pk.n, step))
+            b = len(starts)
+            p2 = np.zeros((b, nb // 4), np.uint8)
+            lens = np.zeros(b, np.int32)
+            inv = np.full((b, self._MAX_EXC), nb, np.int32)
+            for j, st in enumerate(starts):
+                pc = pk.piece(st, max_block)
+                if pc.inv.size > self._MAX_EXC:
+                    return None
+                m = (pc.n + 3) // 4
+                p2[j, :m] = pc.p2[:m]
+                lens[j] = pc.n
+                inv[j, : pc.inv.size] = pc.inv
+            return ("exc", p2, lens, inv)
+        if self.is_aa or self._upload_raw:
+            return None  # raw rows ship through _race_stream_device
+        if isinstance(codes, PackedCodes):
+            codes = codes.to_codes()
+        n = len(codes)
+        step = max_block - (self.k - 1)
+        starts = list(range(0, n, step))
+        b = len(starts)
+        arr = np.full((b, nb), 255, np.uint8)
+        lens = np.zeros(b, np.int32)
+        for j, st in enumerate(starts):
+            pc = codes[st : st + max_block]
+            arr[j, : len(pc)] = pc
+            lens[j] = len(pc)
+        packed = self._pack_host_exc(arr, lens)
+        if packed is None:
+            return None
+        return ("exc",) + packed
+
+    def _race_stream_device(self, codes):
+        """Race a longer-than-one-block genome with batched piece
+        dispatches (see _race_stream_fn).  Accepts PackedCodes or a u8
+        code array; returns a device RaceResult, or None when the input
+        needs a fallback path (N-run-heavy beyond the exception budget)."""
+        from ..io.codec import PackedCodes
+
+        max_block = 1 << self.MAX_BLOCK_LOG2
+        nb = max_block
+        bmax = max(1, (1 << self._BATCH_ELEMS_LOG2) // nb)
+        packed_direct = (
+            isinstance(codes, PackedCodes)
+            and not (self.is_aa or self._upload_raw)
+            and not self.MULTIPLICITY_SENSITIVE
+        )
+        race = None
+        if packed_direct:
+            pk = codes
+            step = max_block - (self.k - 1)
+            step -= step % 4  # byte-aligned piece starts in the 2-bit form
+            starts = list(range(0, pk.n, step))
+            for c0 in range(0, len(starts), bmax):
+                grp = starts[c0 : c0 + bmax]
+                b = len(grp)
+                p2 = np.zeros((b, nb // 4), np.uint8)
+                lens = np.zeros(b, np.int32)
+                inv = np.full((b, self._MAX_EXC), nb, np.int32)
+                for j, st in enumerate(grp):
+                    pc = pk.piece(st, max_block)
+                    if pc.inv.size > self._MAX_EXC:
+                        return None  # N-run-heavy piece: bit-plane fallback
+                    m = (pc.n + 3) // 4
+                    p2[j, :m] = pc.p2[:m]
+                    lens[j] = pc.n
+                    inv[j, : pc.inv.size] = pc.inv
+                r = self._race_stream_fn(b, nb, "exc")(
+                    jnp.asarray(p2), jnp.asarray(lens), jnp.asarray(inv))
+                race = r if race is None else self._combine_fn(race, r)
+            return race
+        # u8-codes path: AA / raw uploads / multiplicity-sensitive
+        # algorithms (exact k-1-overlap pieces, no 4-alignment duplication)
+        if isinstance(codes, PackedCodes):
+            codes = codes.to_codes()
+        n = len(codes)
+        step = max_block - (self.k - 1)
+        starts = list(range(0, n, step))
+        for c0 in range(0, len(starts), bmax):
+            grp = starts[c0 : c0 + bmax]
+            b = len(grp)
+            arr = np.full((b, nb), 255, np.uint8)
+            lens = np.zeros(b, np.int32)
+            for j, st in enumerate(grp):
+                pc = codes[st : st + max_block]
+                arr[j, : len(pc)] = pc
+                lens[j] = len(pc)
+            if self.is_aa or self._upload_raw:
+                r = self._race_stream_fn(b, nb, "raw")(jnp.asarray(arr))
+            else:
+                packed = self._pack_host_exc(arr, lens)
+                if packed is None:
+                    return None  # N-run-heavy: caller's bit-plane path
+                p2, lens2, inv = packed
+                r = self._race_stream_fn(b, nb, "exc")(
+                    jnp.asarray(p2), jnp.asarray(lens2), jnp.asarray(inv))
+            race = r if race is None else self._combine_fn(race, r)
+        return race
+
     @functools.cached_property
     def _combine_fn(self):
         return jax.jit(combine_race)
@@ -350,8 +546,12 @@ class SketcherBase:
         if n <= max_block:
             return self._run_block(codes)
         # stream long genomes through max-size pieces overlapping by k-1 so
-        # no window is lost at piece boundaries
-        race = None
+        # no window is lost at piece boundaries; pieces go to the device
+        # BATCHED (one dispatch per genome, row-reduced in-graph)
+        race = self._race_stream_device(codes)
+        if race is not None:
+            return race
+        race = None  # N-run-heavy fallback: per-piece bit-plane blocks
         step = max_block - (self.k - 1)
         for start in range(0, n, step):
             piece = codes[start : start + max_block]
@@ -368,9 +568,12 @@ class SketcherBase:
             # 4-aligned piece starts duplicate up to 3 boundary windows —
             # exact multiplicities require the unpacked k-1-overlap path
             return self._race_codes(pk.to_codes())
+        race = self._race_stream_device(pk)  # batched piece dispatches
+        if race is not None:
+            return race
         step = max_block - (self.k - 1)
         step -= step % 4  # keep piece starts byte-aligned in the 2-bit form
-        race = None
+        race = None  # N-run-heavy fallback: per-piece blocks
         for start in range(0, pk.n, step):
             r = self._run_block_packed(pk.piece(start, max_block))
             race = r if race is None else self._combine_fn(race, r)
@@ -411,12 +614,57 @@ class SketcherBase:
     # per-dispatch overhead is the limiter
     @functools.cached_property
     def _BATCH_ELEMS_LOG2(self) -> int:
+        env = os.environ.get("GSEARCH_TPU_BATCH_ELEMS_LOG2")
+        if env:
+            return int(env)
         return 25 if jax.default_backend() == "tpu" else 23
 
-    #: device dispatches kept in flight before the oldest is fetched; the
+    #: bound on dispatches outstanding to the collector thread; the
     #: window lets host pack/assembly and relay upload of batch i+1..i+w
-    #: overlap device compute of batch i (JAX dispatch is async)
+    #: overlap device compute AND result download of batch i
     INFLIGHT = 4
+
+    def _ensure_collector(self):
+        """Start the result-collector thread (the reference's collector
+        thread group, dnasketch.rs:330-456): it alone calls np.asarray on
+        finished dispatches, so the submit thread's dispatch stream never
+        syncs and the device pipeline stays full."""
+        if self._collect_q is not None:
+            return
+        import queue
+        import threading
+
+        self._collect_q = queue.Queue(maxsize=2 * self.INFLIGHT)
+        self._collect_cv = threading.Condition()
+
+        def loop():
+            while True:
+                item = self._collect_q.get()
+                if item is None:
+                    return
+                tkt, chunk, dev_sigs = item
+                try:
+                    sigs = np.asarray(dev_sigs)
+                    for row, i in enumerate(chunk):
+                        tkt.out[i] = sigs[row]
+                    err = None
+                except BaseException as e:  # surfaced by sketch_finish
+                    err = e
+                with self._collect_cv:
+                    if err is not None and self._collect_err is None:
+                        self._collect_err = err
+                    tkt.open_batches -= 1
+                    self._collect_cv.notify_all()
+
+        threading.Thread(
+            target=loop, daemon=True, name="gsearch-collector"
+        ).start()
+
+    def _dispatch_to_collector(self, ticket, chunk, dev_sigs):
+        with self._collect_cv:
+            ticket.open_batches += 1
+        # blocking put = backpressure: bounds outstanding device inputs
+        self._collect_q.put((ticket, chunk, dev_sigs))
 
     def sketch_many(self, codes_list: Sequence[np.ndarray]) -> np.ndarray:
         """Signatures for a list of genomes, stacked [B, nb_slots]."""
@@ -443,10 +691,24 @@ class SketcherBase:
                 c.to_codes() if isinstance(c, PackedCodes) else c
                 for c in codes_list
             ]
+        self._ensure_collector()
         groups: dict = {}
+        long_groups: dict = {}  # piece count -> [(out_row, piece rows)]
         for i, codes in enumerate(codes_list):
             if len(codes) > max_block:
-                out[i] = self.sketch_codes(codes)
+                # long genome (most real bacteria are 2-10 Mbases, larger
+                # than one block): assemble its piece rows now, dispatch
+                # them batched ACROSS genomes below.  Fallbacks (mesh
+                # sharding, N-run-heavy, raw/AA uploads) stream per genome
+                # with an on-device finalize handed to the collector — an
+                # inline np.asarray here would sync the dispatch pipeline
+                rows = None if self.mesh is not None else self._stream_rows(codes)
+                if rows is None:
+                    race = self._race_codes(codes)
+                    self._dispatch_to_collector(
+                        ticket, [i], self._finalize_fn(race)[None])
+                else:
+                    long_groups.setdefault(rows[1].shape[0], []).append((i, rows))
             else:
                 # fused-parsed genomes batch in their packed form directly
                 # (no unpack, no repack); over-budget exception lists (rare
@@ -454,16 +716,6 @@ class SketcherBase:
                 pk = (isinstance(codes, PackedCodes)
                       and codes.inv.size <= self._MAX_EXC)
                 groups.setdefault((block_length(len(codes)), pk), []).append(i)
-
-        pending = self._inflight
-
-        def drain(limit: int):
-            while len(pending) > limit:
-                tkt, chunk, dev_sigs = pending.pop(0)
-                sigs = np.asarray(dev_sigs)
-                for row, i in enumerate(chunk):
-                    tkt.out[i] = sigs[row]
-                tkt.open_batches -= 1
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -504,9 +756,7 @@ class SketcherBase:
                         inv[row, : g.inv.size] = g.inv
                     dev = self._batch_fn(b, nb, "exc")(
                         put(p2), put(lens), put(inv))
-                    ticket.open_batches += 1
-                    pending.append((ticket, chunk, dev))
-                    drain(limit=self.INFLIGHT)
+                    self._dispatch_to_collector(ticket, chunk, dev)
                     continue
                 if pack_ok:
                     # exc-form packing masks by per-row length, so padding
@@ -537,20 +787,44 @@ class SketcherBase:
                             arr[row] = 255
                         p2, vb = self._pack_host(arr)
                         dev = self._batch_fn(b, nb, "plane")(put(p2), put(vb))
-                ticket.open_batches += 1
-                pending.append((ticket, chunk, dev))
-                drain(limit=self.INFLIGHT)
+                self._dispatch_to_collector(ticket, chunk, dev)
+        # cross-genome streaming dispatches: g genomes x p piece rows per
+        # program, unused tail rows dead (lens 0, ignored by the collector)
+        nbl = 1 << self.MAX_BLOCK_LOG2
+        for p, items in long_groups.items():
+            gcap = max(1, (1 << self._STREAM_ELEMS_LOG2) // (p * nbl))
+            gcap = 1 << max(gcap.bit_length() - 1, 0)
+            for start in range(0, len(items), gcap):
+                chunk = items[start : start + gcap]
+                g = 1
+                while g < len(chunk):
+                    g <<= 1
+                g = min(g, gcap)
+                rows = g * p
+                p2 = np.zeros((rows, nbl // 4), np.uint8)
+                lens = np.zeros(rows, np.int32)
+                inv = np.full((rows, self._MAX_EXC), nbl, np.int32)
+                idxs = []
+                for r, (i, (_, rp2, rlens, rinv)) in enumerate(chunk):
+                    p2[r * p : (r + 1) * p] = rp2
+                    lens[r * p : (r + 1) * p] = rlens
+                    inv[r * p : (r + 1) * p] = rinv
+                    idxs.append(i)
+                dev = self._race_stream_seg_fn(g, p, nbl, "exc")(
+                    jnp.asarray(p2), jnp.asarray(lens), jnp.asarray(inv))
+                self._dispatch_to_collector(ticket, idxs, dev)
         return ticket
 
     def sketch_finish(self, ticket: "SketchTicket") -> np.ndarray:
         """Block until every batch of `ticket` has landed; return its rows."""
-        pending = self._inflight
-        while ticket.open_batches > 0:
-            tkt, chunk, dev_sigs = pending.pop(0)
-            sigs = np.asarray(dev_sigs)
-            for row, i in enumerate(chunk):
-                tkt.out[i] = sigs[row]
-            tkt.open_batches -= 1
+        if self._collect_cv is None:
+            return ticket.out  # no batched dispatches were submitted
+        with self._collect_cv:
+            while ticket.open_batches > 0:
+                self._collect_cv.wait(timeout=60.0)
+            if self._collect_err is not None:
+                err, self._collect_err = self._collect_err, None
+                raise err
         return ticket.out
 
 
