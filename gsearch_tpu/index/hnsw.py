@@ -222,6 +222,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def load_sigs_npy_with_headroom(path: str):
+    """Read a signature .npy STRAIGHT into a capacity buffer with ~12.5%
+    append headroom: one disk read, zero extra copies.  np.load + a later
+    capacity migration would re-copy the whole matrix (25 GB / 90 s at
+    524k x 12000) on the first post-reload `add`.  Returns (buf, n)."""
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        assert not fortran and len(shape) == 2, (shape, fortran)
+        n, s = shape
+        cap = n + max(n >> 3, 4096)
+        buf = np.empty((cap, s), dtype)
+        live = buf[:n]
+        got = f.readinto(live)  # ndarray buffer protocol: fills rows 0..n
+        if got != live.nbytes:
+            raise IOError(f"{path}: expected {live.nbytes} bytes, got {got}")
+    return buf, n
+
+
 def _as_u32(x: np.ndarray) -> np.ndarray:
     """Bit-pattern view so one compare kernel serves f32/u32/u16/i32 sigs."""
     if x.dtype == np.float32:
@@ -300,6 +319,16 @@ class HnswIndex:
 
     def get_sigs(self) -> np.ndarray:
         return self._sigs
+
+    def adopt_sig_buffer(self, buf: np.ndarray, n: int) -> None:
+        """Install a caller-built capacity buffer whose first n rows are
+        the live signatures.  Load paths use this (with append headroom,
+        see load_sigs_npy_with_headroom) so a reloaded database's first
+        `add` does not pay a whole-matrix migration copy — 90 s of host
+        memcpy+page-faults at 524k x 12000."""
+        assert buf.shape[0] >= n and buf.shape[1] == self.sketch_size
+        self._sigs_buf = buf
+        self._sigs = buf[:n]
 
     def _append_sigs(self, new: np.ndarray) -> None:
         """Append rows to the signature matrix in amortized O(new).
@@ -1234,17 +1263,17 @@ class HnswIndex:
 
     @classmethod
     def load_arrays(cls, prefix: str, meta: dict) -> "HnswIndex":
-        sigs = np.load(prefix + ".sigs.npy")
+        buf, n = load_sigs_npy_with_headroom(prefix + ".sigs.npy")
         g = np.load(prefix + ".graph.npz")
         idx = cls(
-            sketch_size=sigs.shape[1],
-            sig_dtype=sigs.dtype,
+            sketch_size=buf.shape[1],
+            sig_dtype=buf.dtype,
             max_nb_conn=int(meta.get("max_nb_conn", 64)),
             ef_construction=int(meta.get("ef_construction", 200)),
             scale_modification=float(meta.get("scale_modification", 1.0)),
             search_prefix=int(meta.get("search_prefix", 1024)),
         )
-        idx._sigs = sigs
+        idx.adopt_sig_buffer(buf, n)
         idx._nbrs = g["nbrs"]
         if "nbr_d" in g:
             idx._nbr_d = g["nbr_d"]
