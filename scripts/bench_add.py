@@ -252,6 +252,12 @@ def phase_search(n_base, n_add, s, rpath, ocache, out_path):
         "points_per_s_warm": round(n_add / t_add2, 1),
         "recall10_added_queries": round(rec, 4), "tie_aware": round(ta, 4),
         "beam_insert_reference_s": "4802 at 262k (round 2 PERF.md)",
+        "note_r5": ("round 5: compiles replay from the persistent disk "
+                    "cache (fresh process), and the sig matrix loads "
+                    "straight into a capacity buffer — residual cold vs "
+                    "warm is remote executable loading + first-dispatch "
+                    "launch latency through this relay, which a TPU VM "
+                    "with local PJRT does not pay"),
         "note": ("cold includes every remote XLA compile for the crossed "
                  "power-of-two row bucket (one-off per bucket; a TPU VM "
                  "with a local compile cache pays it once ever); warm is "
