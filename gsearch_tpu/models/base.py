@@ -684,7 +684,12 @@ class SketcherBase:
 
         out = np.empty((len(codes_list), self.nb_slots), dtype=self.SIG_DTYPE)
         ticket = SketchTicket(out)
-        max_block = 1 << _MAX_BLOCK_LOG2
+        # the INSTANCE block size, not the module default: subclasses and
+        # tests raise/shrink MAX_BLOCK_LOG2, and the short/long routing
+        # must agree with _race_codes or a genome near the boundary takes
+        # a different window partition than the per-genome path (the
+        # packed race's windowed pre-reduce is ~1e-4 partition-sensitive)
+        max_block = 1 << self.MAX_BLOCK_LOG2
         pack_ok = not (self.is_aa or self._upload_raw)
         if not pack_ok:  # packed inputs need the raw-code forms
             codes_list = [
@@ -715,7 +720,8 @@ class SketcherBase:
                 # N-run-heavy files) fall back to the code-array form
                 pk = (isinstance(codes, PackedCodes)
                       and codes.inv.size <= self._MAX_EXC)
-                groups.setdefault((block_length(len(codes)), pk), []).append(i)
+                nb_i = block_length(len(codes), self.MAX_BLOCK_LOG2)
+                groups.setdefault((nb_i, pk), []).append(i)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -162,20 +162,46 @@ def test_hll_tracks_jaccard_coarsely(rng):
 
 def test_streaming_long_genome_matches_whole(rng):
     """A genome crossing the max block size must sketch identically when
-    streamed (combine_race path) — use a small block via monkeypatching."""
-    import gsearch_tpu.models.base as base
-
+    streamed (batched-piece + combine_race path) — shrink the block via a
+    per-INSTANCE override (the class attr is bound at import, so patching
+    the module global would silently leave the whole-genome path active)."""
     seq = random_dna(rng, 40_000)
     sk = make_sketcher(_params(SketchAlgo.OPTDENS))
     sig_whole = sk.sketch_codes(encode_dna(seq))
-    old = base._MAX_BLOCK_LOG2
-    try:
-        base._MAX_BLOCK_LOG2 = 14  # 16384 < 40k forces streaming
-        sk2 = make_sketcher(_params(SketchAlgo.OPTDENS))
-        sig_stream = sk2.sketch_codes(encode_dna(seq))
-    finally:
-        base._MAX_BLOCK_LOG2 = old
+    sk2 = make_sketcher(_params(SketchAlgo.OPTDENS))
+    sk2.MAX_BLOCK_LOG2 = 14  # 16384 < 40k forces streaming
+    sig_stream = sk2.sketch_codes(encode_dna(seq))
     np.testing.assert_array_equal(sig_whole, sig_stream)
+
+
+def test_submit_mixed_lengths_matches_per_genome(rng):
+    """sketch_many over a batch mixing short genomes with several LONG
+    ones (the cross-genome piece-batching path, _race_stream_seg_fn) must
+    equal the one-at-a-time oracle."""
+    sk = make_sketcher(_params(SketchAlgo.OPTDENS))
+    sk.MAX_BLOCK_LOG2 = 14
+    lens = [5_000, 40_000, 33_000, 900, 40_000, 70_001, 16_384]
+    genomes = [encode_dna(random_dna(rng, n)) for n in lens]
+    got = sk.sketch_many(genomes)
+    one = make_sketcher(_params(SketchAlgo.OPTDENS))
+    one.MAX_BLOCK_LOG2 = 14
+    for row, codes in enumerate(genomes):
+        np.testing.assert_array_equal(
+            got[row], one.sketch_codes(codes), err_msg=f"genome {row}")
+
+
+def test_submit_long_multiplicity_sensitive(rng):
+    """The k-1-overlap (u8 codes) streaming branch: PROB3A long genomes
+    through sketch_many must equal the streaming sketch_codes oracle."""
+    sk = make_sketcher(_params(SketchAlgo.PROB3A))
+    sk.MAX_BLOCK_LOG2 = 14
+    genomes = [encode_dna(random_dna(rng, n)) for n in (40_000, 2_000, 50_000)]
+    got = sk.sketch_many(genomes)
+    one = make_sketcher(_params(SketchAlgo.PROB3A))
+    one.MAX_BLOCK_LOG2 = 14
+    for row, codes in enumerate(genomes):
+        np.testing.assert_array_equal(
+            got[row], one.sketch_codes(codes), err_msg=f"genome {row}")
 
 
 def test_probminhash_streaming_bias():
