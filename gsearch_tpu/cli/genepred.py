@@ -36,7 +36,15 @@ def load_train_model(path_or_name: str, train_dir: str | None = None):
 
     from ..models.genepred import GeneModel, _codon_id, default_codon_logusage
 
+    if train_dir is not None and path_or_name == "standard":
+        # -r DIR with -t left at its default: the directory IS the model
+        # (previously this silently fell through to the built-in prior);
+        # "complete" is the reference tool's standard per-error-model file
+        return None, GeneModel.from_fgs_train_dir(train_dir)
     if path_or_name in ("standard", "self"):
+        if train_dir is not None:
+            print(f"warning: -r {train_dir} ignored with -t {path_or_name}",
+                  file=sys.stderr)
         return default_codon_logusage(), None
     if train_dir is not None:
         return None, GeneModel.from_fgs_train_dir(train_dir, path_or_name)

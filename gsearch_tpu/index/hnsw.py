@@ -227,18 +227,9 @@ def load_sigs_npy_with_headroom(path: str):
     append headroom: one disk read, zero extra copies.  np.load + a later
     capacity migration would re-copy the whole matrix (25 GB / 90 s at
     524k x 12000) on the first post-reload `add`.  Returns (buf, n)."""
-    with open(path, "rb") as f:
-        version = np.lib.format.read_magic(f)
-        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
-        assert not fortran and len(shape) == 2, (shape, fortran)
-        n, s = shape
-        cap = n + max(n >> 3, 4096)
-        buf = np.empty((cap, s), dtype)
-        live = buf[:n]
-        got = f.readinto(live)  # ndarray buffer protocol: fills rows 0..n
-        if got != live.nbytes:
-            raise IOError(f"{path}: expected {live.nbytes} bytes, got {got}")
-    return buf, n
+    from ..io.npyio import npy_read_with_headroom
+
+    return npy_read_with_headroom(path)
 
 
 def _as_u32(x: np.ndarray) -> np.ndarray:

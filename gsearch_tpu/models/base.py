@@ -67,13 +67,17 @@ def block_length(n: int, max_log2: int = _MAX_BLOCK_LOG2) -> int:
 
 class SketchTicket:
     """Handle for an asynchronous sketch_submit: rows land in `out` as the
-    sketcher's in-flight window drains; complete when open_batches == 0."""
+    collector drains finished dispatches; complete when open_batches == 0.
+    A batch failure lands in `err` and is raised by THIS ticket's
+    sketch_finish (a shared error slot would raise it on whichever ticket
+    finished first and let the failed one return uninitialized rows)."""
 
-    __slots__ = ("out", "open_batches")
+    __slots__ = ("out", "open_batches", "err")
 
     def __init__(self, out: np.ndarray):
         self.out = out
         self.open_batches = 0
+        self.err: BaseException | None = None
 
 
 class SketcherBase:
@@ -112,7 +116,6 @@ class SketcherBase:
         # ingest's 4.6 s wall)
         self._collect_q = None
         self._collect_cv = None
-        self._collect_err: BaseException | None = None
 
     def set_mesh(self, mesh) -> None:
         """Enable data-parallel sketching over the mesh's 'd' axis: genome
@@ -651,8 +654,8 @@ class SketcherBase:
                 except BaseException as e:  # surfaced by sketch_finish
                     err = e
                 with self._collect_cv:
-                    if err is not None and self._collect_err is None:
-                        self._collect_err = err
+                    if err is not None and tkt.err is None:
+                        tkt.err = err
                     tkt.open_batches -= 1
                     self._collect_cv.notify_all()
 
@@ -708,6 +711,13 @@ class SketcherBase:
                 # with an on-device finalize handed to the collector — an
                 # inline np.asarray here would sync the dispatch pipeline
                 rows = None if self.mesh is not None else self._stream_rows(codes)
+                if (rows is not None and rows[1].shape[0] * max_block
+                        > (1 << self._STREAM_ELEMS_LOG2)):
+                    # one contig bigger than the whole dispatch budget
+                    # (chromosome-scale): the per-genome path chunks its
+                    # pieces by the budget; a single seg dispatch would
+                    # put the entire contig's rows in one program
+                    rows = None
                 if rows is None:
                     race = self._race_codes(codes)
                     self._dispatch_to_collector(
@@ -828,9 +838,8 @@ class SketcherBase:
         with self._collect_cv:
             while ticket.open_batches > 0:
                 self._collect_cv.wait(timeout=60.0)
-            if self._collect_err is not None:
-                err, self._collect_err = self._collect_err, None
-                raise err
+            if ticket.err is not None:
+                raise ticket.err
         return ticket.out
 
 

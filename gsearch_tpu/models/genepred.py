@@ -178,12 +178,14 @@ class GeneModel:
           (stored for fidelity; scoring here adds the log-odds sums
           directly as Viterbi transition bonuses)."""
 
-    _OPT = ("dicodon_logusage", "noncoding_lm", "start_ctx", "stop_ctx",
-            "rstart_ctx", "rstop_ctx", "dists", "ctx_aff")
+    _OPT = ("dicodon_logusage", "rdicodon_logusage", "noncoding_lm",
+            "start_ctx", "stop_ctx", "rstart_ctx", "rstop_ctx", "dists",
+            "ctx_aff")
 
     def __init__(self, cg_bins, codon_logusage, dicodon_logusage=None,
-                 noncoding_lm=None, start_ctx=None, stop_ctx=None,
-                 rstart_ctx=None, rstop_ctx=None, dists=None, ctx_aff=None):
+                 rdicodon_logusage=None, noncoding_lm=None, start_ctx=None,
+                 stop_ctx=None, rstart_ctx=None, rstop_ctx=None, dists=None,
+                 ctx_aff=None):
         self.cg_bins = np.asarray(cg_bins, dtype=np.float32)
         self.codon_logusage = np.asarray(codon_logusage, dtype=np.float32)
         loc = locals()
@@ -198,7 +200,9 @@ class GeneModel:
     def tables_for(self, cg_percent: float):
         b = self.bin_for(cg_percent)
         di = None if self.dicodon_logusage is None else self.dicodon_logusage[b]
-        return self.codon_logusage[b], di
+        rdi = (None if self.rdicodon_logusage is None
+               else self.rdicodon_logusage[b])
+        return self.codon_logusage[b], di, rdi
 
     def ctx_for(self, cg_percent: float):
         """(noncoding_lm, ctx[4, 61, 64], ctx_aff[4, 2]) for the bin,
@@ -413,9 +417,14 @@ class GeneModel:
         nb = len(cg)
         codons = np.zeros((nb, 64), np.float32)
         dicodons = np.zeros((nb, 64, 64), np.float32)
+        rdicodons = np.zeros((nb, 64, 64), np.float32)
         for b in range(nb):
             di = cls._em_to_dicodon(e_m[b].reshape(6, 16, 4))
             dicodons[b] = di
+            # rgene/e_M1: reverse-strand emissions, trained over PLUS-strand
+            # bases with the same 6-periodicity, so the codon-granular form
+            # indexes plus-coordinate codon pairs (see _precompute_scores)
+            rdicodons[b] = cls._em_to_dicodon(_e_m1[b].reshape(6, 16, 4))
             marg = np.exp(di).mean(axis=0)
             codons[b] = np.log(_floor_stops(marg / marg.sum()))
 
@@ -447,7 +456,8 @@ class GeneModel:
                         ctx_aff[b, t] = (1.0, 0.0)
                     else:
                         ctx_aff[b, t] = (scale, -scale * 0.5 * (mT + mF))
-        return cls(cg, codons, dicodons, noncoding_lm=nc,
+        return cls(cg, codons, dicodons, rdicodon_logusage=rdicodons,
+                   noncoding_lm=nc,
                    start_ctx=lo(tr_s), stop_ctx=lo(tr_e),
                    rstart_ctx=lo(tr_s1), rstop_ctx=lo(tr_e1), dists=dists,
                    ctx_aff=ctx_aff)
@@ -483,6 +493,10 @@ def read_fgs_transitions(path: str) -> dict:
 class GenePredParams:
     codon_logusage: np.ndarray = dataclasses.field(default_factory=default_codon_logusage)
     dicodon_logusage: np.ndarray | None = None  # [64, 64] log P(codon|prev)
+    #: [64, 64] separately trained REVERSE-strand dicodon table in plus
+    #: coordinates (FragGeneScan's e_M1 role); None: score minus genes by
+    #: reading the forward table through revcomp codons
+    rdicodon_logusage: np.ndarray | None = None
     model: "GeneModel | None" = None      # CG-binned tables; overrides the two above
     #: [4, 4] log P(base | prev base) noncoding emissions (None: flat 1/4)
     noncoding_lm: np.ndarray | None = None
@@ -554,7 +568,7 @@ def _precompute_scores(codes: jnp.ndarray, codon_lu, dicodon_lu,
                        start_codon_bonus, stop_codon_bonus,
                        nc_lm=None, ctx=None, ctx_aff=None,
                        ctx_weight=1.0, ctx_cap=18.0, ctx_neg_cap=6.0,
-                       start_prior=None):
+                       start_prior=None, rdicodon_lu=None):
     """codes [B, L] -> per-position emissions [B, L, NSTATE] and bonuses.
 
     Traceable: called under jit with the bonus strengths as traced scalars
@@ -603,12 +617,22 @@ def _precompute_scores(codes: jnp.ndarray, codon_lu, dicodon_lu,
         prev_bad = jnp.roll(codon_bad, 3, axis=1) | (pos < 5)
         m3 = jnp.where(prev_bad, m3, di[prev.reshape(-1), codon.reshape(-1)]
                        .reshape(b, l))
-        # reverse: minus-strand genes read right-to-left, so the codon read
-        # before the one ending at i is the rcodon ending at i+3
-        rprev = jnp.roll(rcodon, -3, axis=1)
-        rprev_bad = jnp.roll(codon_bad, -3, axis=1) | (pos >= l - 3)
-        r3 = jnp.where(rprev_bad, r3, di[rprev.reshape(-1), rcodon.reshape(-1)]
-                       .reshape(b, l))
+        if rdicodon_lu is not None:
+            # separately trained reverse table (e_M1): 6-periodic over
+            # PLUS-strand positions, so its codon-granular form scores
+            # plus-coordinate codon pairs exactly like the forward chain
+            rdi = jnp.asarray(rdicodon_lu)
+            r3 = jnp.where(prev_bad,
+                           r3, rdi[prev.reshape(-1), codon.reshape(-1)]
+                           .reshape(b, l))
+        else:
+            # reverse: minus-strand genes read right-to-left, so the codon
+            # read before the one ending at i is the rcodon ending at i+3
+            rprev = jnp.roll(rcodon, -3, axis=1)
+            rprev_bad = jnp.roll(codon_bad, -3, axis=1) | (pos >= l - 3)
+            r3 = jnp.where(rprev_bad, r3,
+                           di[rprev.reshape(-1), rcodon.reshape(-1)]
+                           .reshape(b, l))
     e = jnp.zeros((b, l, NSTATE), dtype=jnp.float32)
     log_quarter = jnp.where(invalid, neg_big, jnp.float32(np.log(0.25)))
     if nc_lm is not None:
@@ -812,11 +836,12 @@ def _viterbi(e, start_bonus, stop_bonus, rev_begin_bonus, rev_end_bonus,
 
 
 @functools.partial(jax.jit, static_argnames=("has_di", "has_nc", "has_ctx",
-                                             "has_prior"))
+                                             "has_prior", "has_rdi"))
 def _decode_windows(codes, codon_lu, dicodon_lu, start_b, stop_b, p_start,
                     log_indel, dp0, nc_lm, ctx, ctx_aff, ctx_w, ctx_cap,
-                    ctx_neg_cap, sprior, *, has_di: bool, has_nc: bool,
-                    has_ctx: bool, has_prior: bool):
+                    ctx_neg_cap, sprior, rdicodon_lu, *, has_di: bool,
+                    has_nc: bool, has_ctx: bool, has_prior: bool,
+                    has_rdi: bool = False):
     """codes [B, W] -> decoded state paths [B, W] (one fused program:
     emission/bonus precompute + Viterbi scan + backtrace)."""
     e, sb, pb, rbb, reb = _precompute_scores(
@@ -824,7 +849,8 @@ def _decode_windows(codes, codon_lu, dicodon_lu, start_b, stop_b, p_start,
         nc_lm=nc_lm if has_nc else None, ctx=ctx if has_ctx else None,
         ctx_aff=ctx_aff if has_ctx else None,
         ctx_weight=ctx_w, ctx_cap=ctx_cap, ctx_neg_cap=ctx_neg_cap,
-        start_prior=sprior if has_prior else None)
+        start_prior=sprior if has_prior else None,
+        rdicodon_lu=rdicodon_lu if (has_di and has_rdi) else None)
     path = _viterbi(e, sb, pb, rbb, reb, dp0, p_start, log_indel)
     return jnp.moveaxis(path, 0, 1)  # [B, W]
 
@@ -1030,8 +1056,11 @@ def train_tables_from_calls(codes: np.ndarray, genes: "List[Gene]",
             sel = (p0 >= 0) & (p0 <= l - 3)
             idx = p0[sel]
             good = tri_ok[idx]
-            contrib = np.where(good, ctx[t, j, tri[idx]], 0.0)
-            s[sel] += contrib
+            # clamp BEFORE indexing: trinucleotides containing an invalid
+            # code (N runs in real assemblies) encode past 63 and would
+            # IndexError ctx even under the np.where mask
+            tri_safe = np.where(good, tri[idx], 0)
+            s[sel] += np.where(good, ctx[t, j, tri_safe], 0.0)
         return s
 
     rng = np.random.default_rng(0xC7B)
@@ -1122,7 +1151,8 @@ _NEG_BIG = -1e9
 
 
 def _decode_path(codes: np.ndarray, p: GenePredParams, codon_lu,
-                 dicodon_lu, nc_lm=None, ctx=None, ctx_aff=None) -> np.ndarray:
+                 dicodon_lu, nc_lm=None, ctx=None, ctx_aff=None,
+                 rdicodon_lu=None) -> np.ndarray:
     """Full-contig Viterbi state path [L] via batched overlapping windows."""
     l = len(codes)
     start_b = jnp.float32(p.start_codon_bonus)
@@ -1132,6 +1162,9 @@ def _decode_path(codes: np.ndarray, p: GenePredParams, codon_lu,
     clu = jnp.asarray(codon_lu)
     has_di = dicodon_lu is not None
     dlu = jnp.asarray(dicodon_lu) if has_di else jnp.zeros((64, 64), jnp.float32)
+    has_rdi = has_di and rdicodon_lu is not None
+    rdlu = (jnp.asarray(rdicodon_lu) if has_rdi
+            else jnp.zeros((64, 64), jnp.float32))
     has_nc = nc_lm is not None
     nclm = jnp.asarray(nc_lm) if has_nc else jnp.zeros((4, 4), jnp.float32)
     has_ctx = ctx is not None
@@ -1156,8 +1189,8 @@ def _decode_path(codes: np.ndarray, p: GenePredParams, codon_lu,
         return np.asarray(_decode_windows(
             jnp.asarray(win_codes), clu, dlu, start_b, stop_b, p_start,
             log_indel, jnp.asarray(dp0), nclm, ctxj, affj, ctx_w, ctx_cap,
-            ctx_neg, spri, has_di=has_di, has_nc=has_nc, has_ctx=has_ctx,
-            has_prior=has_prior))
+            ctx_neg, spri, rdlu, has_di=has_di, has_nc=has_nc,
+            has_ctx=has_ctx, has_prior=has_prior, has_rdi=has_rdi))
 
     if l <= _WINDOW:
         # single window, padded to a power-of-two bucket for program reuse
@@ -1206,6 +1239,7 @@ def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene
     if l < p.min_gene_len:
         return []
     codon_lu, dicodon_lu = p.codon_logusage, p.dicodon_logusage
+    rdicodon_lu = p.rdicodon_logusage
     nc_lm, ctx, ctx_aff = p.noncoding_lm, p.ctx, p.ctx_aff
     if p.model is not None:
         # CG-content-binned table selection, as the reference tool does per
@@ -1213,9 +1247,10 @@ def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene
         valid = codes < 4
         nv = int(valid.sum())
         cg = 100.0 * float(((codes == 1) | (codes == 2)).sum()) / max(nv, 1)
-        codon_lu, dicodon_lu = p.model.tables_for(cg)
+        codon_lu, dicodon_lu, rdicodon_lu = p.model.tables_for(cg)
         nc_lm, ctx, ctx_aff = p.model.ctx_for(cg)
-    path = _decode_path(codes, p, codon_lu, dicodon_lu, nc_lm, ctx, ctx_aff)
+    path = _decode_path(codes, p, codon_lu, dicodon_lu, nc_lm, ctx, ctx_aff,
+                        rdicodon_lu=rdicodon_lu)
 
     genes: List[Gene] = []
     coding_f = ((path >= F1) & (path <= F3)) | (path == FI1) | (path == FI2)
@@ -1282,13 +1317,24 @@ def predict_genes(seq: bytes, params: GenePredParams | None = None) -> List[Gene
                 cands = [i for i in range(0, span, 3)
                          if work[i : i + 3] in _STARTS and i > last_stop]
                 if not cands:
+                    # no start near the decoded opening (weak-bias genome,
+                    # late start): scan the REST of the ORF before giving
+                    # up — dropping the gene here is a pure sensitivity
+                    # loss vs the first-in-frame-start behavior
+                    cands = [i for i in range(span - span % 3, len(work) - 2, 3)
+                             if work[i : i + 3] in _STARTS and i > last_stop]
+                if not cands:
                     continue
-                chosen = _choose_start(cands, work, codon_lu, p.start_prior,
-                                       ref_off=ext)
+                # only candidates that leave a gene of legal length can
+                # head this ORF; the best-evidence choice among them
+                cands_ok = [i for i in cands
+                            if len(work) - i >= p.min_gene_len]
+                if not cands_ok:
+                    continue
+                chosen = _choose_start(cands_ok, work, codon_lu,
+                                       p.start_prior, ref_off=ext)
                 start_off = chosen - ext  # negative: upstream extension
                 nt_cds = work[chosen:]
-                if len(nt_cds) < p.min_gene_len:
-                    continue
                 if strand == "+":
                     s0 += start_off
                 else:

@@ -75,29 +75,10 @@ def _make_index(s):
 
 def _npz_member_into_capacity(path, name):
     """Read one uncompressed .npz member straight into a capacity buffer
-    with append headroom (the load_sigs_npy_with_headroom recipe, applied
-    to the bench's npz sig cache).  Returns (buf, n)."""
-    import struct
-    import zipfile
+    with append headroom (mirrors the production reload path)."""
+    from gsearch_tpu.io.npyio import npy_read_with_headroom
 
-    with zipfile.ZipFile(path) as z:
-        info = z.getinfo(name)
-        assert info.compress_type == zipfile.ZIP_STORED
-    with open(path, "rb") as f:
-        f.seek(info.header_offset)
-        lh = f.read(30)
-        assert lh[:4] == b"PK\x03\x04"
-        nlen, elen = struct.unpack("<HH", lh[26:30])
-        f.seek(info.header_offset + 30 + nlen + elen)
-        version = np.lib.format.read_magic(f)
-        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
-        assert not fortran and len(shape) == 2
-        n, s = shape
-        buf = np.empty((n + max(n >> 3, 4096), s), dtype)
-        got = f.readinto(buf[:n])
-        if got != buf[:n].nbytes:
-            raise IOError(f"{path}:{name}: short read {got}")
-    return buf, n
+    return npy_read_with_headroom(path, name)
 
 
 def phase_add(n_base, n_add, s, rpath):

@@ -125,27 +125,13 @@ def make_clustered_device(n, s, n_centers, lo=0.02, hi=0.45, seed=0):
 
 
 def _npz_memmap(path, name):
-    """Memory-map one member of an uncompressed .npz (np.savez stores
-    ZIP_STORED) without extracting it: the 50 GB 1M x 12000 sig cache
-    then costs ~zero anon RSS (the first 1M run OOMed this 125 GB host:
-    np.load's full copy + the index's internal append copy)."""
-    import struct
-    import zipfile
+    """Memory-map one member of an uncompressed .npz without extracting
+    it: the 50 GB 1M x 12000 sig cache then costs ~zero anon RSS (the
+    first 1M run OOMed this 125 GB host: np.load's full copy + the
+    index's internal append copy)."""
+    from gsearch_tpu.io.npyio import npy_memmap
 
-    with zipfile.ZipFile(path) as z:
-        info = z.getinfo(name)
-        assert info.compress_type == zipfile.ZIP_STORED
-    with open(path, "rb") as f:
-        f.seek(info.header_offset)
-        lh = f.read(30)
-        assert lh[:4] == b"PK\x03\x04"
-        nlen, elen = struct.unpack("<HH", lh[26:30])
-        f.seek(info.header_offset + 30 + nlen + elen)
-        version = np.lib.format.read_magic(f)
-        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
-        assert not fortran
-        off = f.tell()
-    return np.memmap(path, dtype=dtype, mode="r", offset=off, shape=shape)
+    return npy_memmap(path, name)
 
 
 def _rss_gb():
