@@ -493,3 +493,73 @@ def test_prefix_dev_cache_lifecycle(rng):
     idx._sigs = tampered
     cached = idx._prefix_dev
     assert cached[0] == idx.nb_points and cached[2] != idx._sigs_fp()
+
+
+@pytest.mark.smoke
+def test_load_sigs_capacity_headroom(rng, tmp_path):
+    """load_arrays reads sigs into a capacity buffer: the first append
+    after a reload must NOT migrate (the 90 s 25 GB copy at 524k)."""
+    from gsearch_tpu.index.hnsw import load_sigs_npy_with_headroom
+
+    sigs = rng.random((100, 64), dtype=np.float32)
+    path = tmp_path / "x.sigs.npy"
+    np.save(path, sigs)
+    buf, n = load_sigs_npy_with_headroom(str(path))
+    assert n == 100 and buf.shape[0] > 100
+    np.testing.assert_array_equal(buf[:100], sigs)
+
+    idx = HnswIndex(sketch_size=64, sig_dtype=np.float32, max_nb_conn=4,
+                    ef_construction=16)
+    idx.adopt_sig_buffer(buf, n)
+    base_ptr = buf.ctypes.data
+    idx._append_sigs(rng.random((8, 64), dtype=np.float32))
+    assert idx.nb_points == 108
+    # still the adopted buffer: no migration copy happened
+    assert idx._sigs_buf.ctypes.data == base_ptr
+
+
+@pytest.mark.smoke
+def test_npyio_member_roundtrip(rng, tmp_path):
+    """npyio locates and maps npz members byte-exactly."""
+    from gsearch_tpu.io.npyio import npy_memmap, npy_read_with_headroom
+
+    a = rng.random((37, 11), dtype=np.float32)
+    b = (rng.random(5) * 100).astype(np.int32)
+    path = tmp_path / "pack.npz"
+    np.savez(path, a=a, b=b)
+    mm = npy_memmap(str(path), "a.npy")
+    np.testing.assert_array_equal(np.asarray(mm), a)
+    buf, n = npy_read_with_headroom(str(path), "a.npy")
+    assert n == 37
+    np.testing.assert_array_equal(buf[:37], a)
+
+
+@pytest.mark.smoke
+def test_collector_error_lands_on_its_ticket():
+    """A failing batch raises from ITS ticket's sketch_finish; other
+    tickets complete normally (per-ticket err routing)."""
+    from gsearch_tpu.core.params import DataType, SeqSketcherParams, SketchAlgo
+    from gsearch_tpu.models import make_sketcher
+
+    rng = np.random.default_rng(0)
+    sk = make_sketcher(SeqSketcherParams(
+        kmer_size=12, sketch_size=128, algo=SketchAlgo.OPTDENS,
+        data_t=DataType.DNA))
+    good = [rng.integers(0, 4, 3000).astype(np.uint8) for _ in range(2)]
+    t_ok = sk.sketch_submit(good)
+
+    # inject a failing device array into a second ticket via the
+    # collector queue (the same path a relay/device error takes)
+    class Boom:
+        def __getitem__(self, i):
+            raise RuntimeError("device exploded")
+
+        def __array__(self, dtype=None, copy=None):
+            raise RuntimeError("device exploded")
+
+    t_bad = sk.sketch_submit(good)  # healthy batches first
+    sk._dispatch_to_collector(t_bad, [0], Boom())
+    ok = sk.sketch_finish(t_ok)  # unaffected ticket completes
+    assert ok.shape == (2, 128)
+    with pytest.raises(RuntimeError, match="device exploded"):
+        sk.sketch_finish(t_bad)
