@@ -336,6 +336,15 @@ def test_fgs_train_dir_cli(tmp_path):
     assert main(["-s", str(fa), "-o", str(tmp_path / "out"),
                  "-r", str(tdir), "-t", "complete"]) == 0
     assert (tmp_path / "out.faa").exists()
+    # bare -r with -t left at its default must ALSO use the directory
+    # (it used to silently fall back to the built-in prior)
+    assert main(["-s", str(fa), "-o", str(tmp_path / "out2"),
+                 "-r", str(tdir)]) == 0
+    assert (tmp_path / "out2.faa").exists()
+    from gsearch_tpu.cli.genepred import load_train_model
+
+    _, model = load_train_model("standard", str(tdir))
+    assert model is not None and model.rdicodon_logusage is not None
 
 
 def test_fgs_train_dir_malformed(tmp_path):
