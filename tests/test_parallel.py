@@ -363,3 +363,28 @@ def test_initialize_multihost_two_process(tmp_path):
         _, idx, tot, ndev = lines[0].split()
         assert float(tot) == 28.0
         assert int(ndev) == 8
+
+
+def test_mesh_sketch_long_genomes_match_single(rng):
+    """Mesh-mode sketching of genomes LARGER than one block (the
+    per-genome streaming fallback under a mesh) must equal the
+    single-device result bit-for-bit."""
+    from gsearch_tpu.core.params import (DataType, SeqSketcherParams,
+                                         SketchAlgo)
+    from gsearch_tpu.models import make_sketcher
+    from gsearch_tpu.parallel.mesh import make_device_mesh
+
+    p = SeqSketcherParams(kmer_size=14, sketch_size=128,
+                          algo=SketchAlgo.OPTDENS, data_t=DataType.DNA)
+    genomes = [rng.integers(0, 4, n).astype(np.uint8)
+               for n in (40_000, 70_001, 5_000, 33_000)]
+
+    single = make_sketcher(p)
+    single.MAX_BLOCK_LOG2 = 14  # force >1-block streaming on most rows
+    want = single.sketch_many(genomes)
+
+    meshed = make_sketcher(p)
+    meshed.MAX_BLOCK_LOG2 = 14
+    meshed.set_mesh(make_device_mesh(8))
+    got = meshed.sketch_many(genomes)
+    np.testing.assert_array_equal(want, got)
